@@ -1,0 +1,91 @@
+"""Engine configuration — the recast of webalizer.conf.
+
+The reference's "query plan" is ~120 config keywords parsed into globals
+[webalizer.c ƒget_config kwords[]; sample.conf]. This dataclass keeps the
+subset with query semantics; presentation-only keywords (colors, HTML
+headers) are out of scope. Defaults mirror the reference's documented
+defaults [sample.conf; webalizer.1]:
+
+  VisitTimeout 1800        -> visit_timeout_s
+  TopSites 30 / TopKSites 10 / TopURLs 30 / TopKURLs 10 / TopReferrers 30
+  TopAgents 15 / TopCountries 30 / TopEntry 10 / TopExit 10
+  TopSearch 20 / TopUsers 20
+  PageType htm* cgi        -> page predicate; recast: tool IS NOT NULL
+  Ignore*/Include*/Hide*/Group* wildcard lists -> pattern lists
+  MangleAgents 0-5         -> role/agent normalization level
+  Incremental yes/no       -> checkpoint/resume
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class TopN:
+    """Top-N table sizes [webalizer.c config defaults; sample.conf]."""
+
+    sites: int = 30          # TopSites    — recast: top conversations
+    sites_by_kb: int = 10    # TopKSites
+    urls: int = 30           # TopURLs     — recast: top tools
+    urls_by_kb: int = 10     # TopKURLs
+    referrers: int = 30      # TopReferrers
+    agents: int = 15         # TopAgents   — recast: top roles/agent strings
+    countries: int = 30      # TopCountries — recast: top classes/families
+    entry: int = 10          # TopEntryPages
+    exit: int = 10           # TopExitPages
+    search: int = 20         # TopSearch
+    users: int = 20          # TopUsers
+
+
+@dataclass(frozen=True)
+class WildcardLists:
+    """Ignore/Include/Hide/Group wildcard lists [linklist.c ƒisinlist].
+
+    Reference wildcard grammar: leading '*' = suffix match, trailing '*' =
+    prefix match, bare string = substring match. Each entry here is
+    (pattern, group_name) for group lists, plain pattern otherwise.
+    """
+
+    ignore_site: tuple[str, ...] = ()
+    ignore_url: tuple[str, ...] = ()
+    ignore_referrer: tuple[str, ...] = ()
+    ignore_agent: tuple[str, ...] = ()
+    ignore_user: tuple[str, ...] = ()
+    include_site: tuple[str, ...] = ()
+    include_url: tuple[str, ...] = ()
+    hide_site: tuple[str, ...] = ()
+    hide_url: tuple[str, ...] = ()
+    hide_referrer: tuple[str, ...] = ()
+    hide_agent: tuple[str, ...] = ()
+    group_site: tuple[tuple[str, str], ...] = ()
+    group_url: tuple[tuple[str, str], ...] = ()
+    group_agent: tuple[tuple[str, str], ...] = ()
+    group_user: tuple[tuple[str, str], ...] = ()
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Full engine configuration."""
+
+    # VisitTimeout: seconds of inactivity that end a visit/session
+    # [hashtab.c ƒput_hnode timeout branch; default 1800].
+    visit_timeout_s: int = 1800
+    topn: TopN = field(default_factory=TopN)
+    lists: WildcardLists = field(default_factory=WildcardLists)
+    # MangleAgents level 0-5 [webalizer.c agent mangle]: 0 = verbatim,
+    # higher levels strip minor version / OS / everything but family.
+    mangle_agents: int = 0
+    # Incremental [preserve.c ƒsave_state/ƒrestore_state]: resume from
+    # checkpoint, skipping records at-or-before the saved watermark.
+    incremental: bool = False
+    # Field caps (MAXHOST/MAXURL/... in webalizer.h): bound adversarial rows.
+    max_field_len: int = 4096
+    # Skew handling: convs with more turns than this take the
+    # range-partitioned skew-safe sessionization path (SURVEY §4 O9).
+    hot_conv_threshold: int = 100_000
+    # Streaming watermark (chronology-check analog, SURVEY §2.9).
+    late_data_watermark: str = "30 minutes"
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,76 @@
+"""Scalar function library — recasts of the reference's string/date helpers
+(SURVEY.md §2.8). All built-in pyspark.sql.functions expressions: they stay
+inside whole-stage codegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def url_decode(col: Column) -> Column:
+    """%XX URL-decode [webalizer.c ƒunescape ~30 LoC].
+
+    try_url_decode semantics: malformed escapes yield the input unchanged
+    (the reference validates hex digits and skips invalid escapes).
+    """
+    return F.coalesce(F.try_url_decode(col), col)
+
+
+def sanitize(col: Column, max_len: int = 4096) -> Column:
+    """Bound + clean a string field [webalizer.h MAX* caps; ƒisurlchar].
+
+    Truncation is the reference's memory-safety valve; here it bounds
+    adversarial rows so a single huge `text` cannot blow an executor.
+    Control characters are stripped like ƒisurlchar rejects them.
+    """
+    return F.regexp_replace(F.substring(col, 1, max_len), r"[\x00-\x1f\x7f]", "")
+
+
+def get_domain(host: Column, levels: int = 2) -> Column:
+    """Last-n-label domain extraction [webalizer.c ƒget_domain ~40 LoC]."""
+    return F.substring_index(host, ".", -levels)
+
+
+def search_terms(referrer: Column, param: Column | str = "q") -> Column:
+    """Extract + normalize search terms from a referrer URL
+    [webalizer.c ƒsrch_string ~80 LoC]: take the query parameter,
+    '+' -> space, %XX-decode, lowercase. NULL when absent.
+
+    parse_url is fine with the synthetic `proto://` scheme.
+    """
+    p = F.lit(param) if isinstance(param, str) else param
+    raw = F.parse_url(referrer, F.lit("QUERY"), p)
+    return F.lower(url_decode(F.replace(raw, F.lit("+"), F.lit(" "))))
+
+
+def agent_mangle(agent: Column, level: int = 0) -> Column:
+    """MangleAgents 0-5 [webalizer.c agent-mangle ladder, sample.conf]:
+    progressively strip agent detail. Grammar here: ``family/maj.min (os)``.
+
+      0: verbatim            3: family/maj.min
+      1: drop trailing detail after (os)   4: family/maj
+      2: family/maj.min (os) 5: family only
+    """
+    if level <= 0:
+        return agent
+    if level == 1:
+        return F.regexp_extract(agent, r"^(.*?\))", 1)
+    if level == 2:
+        return F.regexp_extract(agent, r"^(\S+/\d+\.\d+ \([^)]*\))", 1)
+    if level == 3:
+        return F.regexp_extract(agent, r"^(\S+/\d+\.\d+)", 1)
+    if level == 4:
+        return F.regexp_extract(agent, r"^(\S+/\d+)", 1)
+    return F.substring_index(agent, "/", 1)
+
+
+def kbytes(bytes_col: Column) -> Column:
+    """KBytes display math [output.c]: bytes/1024, double."""
+    return bytes_col.cast("double") / F.lit(1024.0)
+
+
+def share_pct(metric: Column, total: Column) -> Column:
+    """Percent-of-total share [output.c/graphs.c pie math]."""
+    return F.when(total > 0, metric.cast("double") * 100.0 / total).otherwise(F.lit(0.0))

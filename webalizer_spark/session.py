@@ -1,0 +1,66 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+The reference is a single process with hand-rolled hash tables
+[webalizer.c ƒmain; hashtab.c]; its only tuning knob is string truncation.
+Here the equivalents are conf: AQE (runtime re-plan + skew splitting),
+Arrow (vectorized Python boundary for the grok UDF), and shuffle-partition
+sizing. On a real cluster these same confs apply unchanged; local[N] is
+used in the sandbox to evidence the two-parallelism scaling criterion
+(BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs chosen for 100 TB-scale behavior, not just local tests:
+#  - AQE coalesces post-shuffle partitions and splits skewed join/agg
+#    partitions at runtime (replaces hand-tuned spark.sql.shuffle.partitions).
+#  - advisoryPartitionSizeInBytes=64m keeps reduce tasks memory-safe.
+#  - Arrow on: the grok pandas_udf moves columns in Arrow batches, never rows.
+#  - maxRecordsPerBatch bounds Python-worker memory for wide text columns.
+#  - session TZ pinned UTC so timestamp semantics match the oracle (DuckDB).
+_ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.parquet.compression.codec": "snappy",
+}
+
+
+def get_spark(
+    app_name: str = "webalizer_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox and is
+    left unset under spark-submit (cluster manager decides).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in _ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    # Local mode: one JVM; shuffle partitions should track cores, not 200.
+    nshuf = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = builder.config("spark.sql.shuffle.partitions", str(nshuf))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
