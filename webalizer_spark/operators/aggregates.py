@@ -1,0 +1,202 @@
+"""Aggregation operators A1-A14 (SURVEY §2.4) — the recast of webalizer's
+hash tables [hashtab.c ƒput_hnode/ƒput_unode/ƒput_rnode/ƒput_anode/
+ƒput_inode/ƒput_snode] and counter arrays [webalizer.c th_*/tm_*/t_*].
+
+Every aggregate is a plain groupBy().agg() — Spark's HashAggregateExec
+gives partial (map-side) + final aggregation with spill for free, which
+replaces the reference's bounded in-memory tables. Metric vocabulary:
+
+  hits    = rows (reference: every parsed record)
+  files   = rows with status == 200 [webalizer.c 'file' tally]
+  pages   = rows with tool IS NOT NULL (P7 recast of ispage())
+  kbytes  = sum(nbytes)/1024 [output.c KBytes math]
+  visits  = count of session-start rows (is_new_session)
+  sites   = distinct conv_id [hashtab.c t_site = node count]
+
+Multi-grain time tables (hourly/daily/monthly [webalizer.c counter block])
+use date_trunc; month+day+hour in ONE shuffle via rollup() when asked.
+At 100 TB every one of these is a single AQE-coalesced shuffle whose key
+cardinality (hours, tools, statuses...) is tiny, so partial aggregation
+collapses virtually all input map-side — hot conv_ids do not skew any
+aggregate keyed on something else.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from webalizer_spark.operators.filters import group_name
+
+# metric factories (Columns can't be built before a SparkContext exists)
+def HITS() -> Column:
+    return F.count(F.lit(1)).alias("hits")
+
+
+def FILES() -> Column:
+    return F.count_if(F.col("status") == 200).alias("files")
+
+
+def PAGES() -> Column:
+    return F.count_if(F.col("tool").isNotNull()).alias("pages")
+
+
+def ERRORS() -> Column:
+    return F.count_if(F.col("status") >= 400).alias("errors")
+
+
+def KBYTES() -> Column:
+    return (F.sum("nbytes") / F.lit(1024.0)).alias("kbytes")
+
+
+def VISITS() -> Column:
+    return F.count_if(F.col("is_new_session")).alias("visits")
+
+
+def SITES() -> Column:
+    return F.countDistinct("conv_id").alias("sites")
+
+
+def CORE_METRICS() -> list[Column]:
+    return [HITS(), FILES(), PAGES(), ERRORS(), KBYTES()]
+
+
+def _grain(ts_col: str, grain: str) -> Column:
+    return F.date_trunc(grain, F.col(ts_col)).alias(f"{grain}_ts")
+
+
+def time_totals(df: DataFrame, grain: str = "day", ts_col: str = "ts",
+                with_sessions: bool = False) -> DataFrame:
+    """A7/A8/A9: hourly/daily/monthly totals incl. per-bucket distinct
+    sites (reference daily table sd_htab) and visit starts."""
+    metrics = [*CORE_METRICS(), SITES()]
+    if with_sessions:
+        metrics.append(VISITS())
+    return df.groupBy(_grain(ts_col, grain)).agg(*metrics)
+
+
+def hour_of_day_profile(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """A7 variant: the reference's hourly table is hour-OF-DAY within the
+    month [webalizer.c th_* arrays] — a 24-row profile."""
+    return df.groupBy(F.hour(ts_col).alias("hour")).agg(*CORE_METRICS())
+
+
+def multi_grain_rollup(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """A9 note: month+day+hour grains in ONE shuffle via rollup, with
+    grouping_id distinguishing the grain of each output row."""
+    return (
+        df.rollup(
+            _grain(ts_col, "month"),
+            _grain(ts_col, "day"),
+            _grain(ts_col, "hour"),
+        )
+        .agg(*CORE_METRICS(), F.grouping_id().alias("grain_id"))
+    )
+
+
+def per_site(df: DataFrame) -> DataFrame:
+    """A1: per-conv (per-site) table [hashtab.c ƒput_hnode]: hits, files,
+    pages, kbytes, visits, last-seen ts."""
+    return df.groupBy("conv_id").agg(
+        *CORE_METRICS(), VISITS(), F.max("ts").alias("last_ts"),
+    )
+
+
+def per_url(df: DataFrame) -> DataFrame:
+    """A2: per-tool (per-URL) table [hashtab.c ƒput_unode] over page rows."""
+    return (
+        df.filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(HITS(), FILES(), KBYTES())
+    )
+
+
+def per_referrer(df: DataFrame) -> DataFrame:
+    """A3 [hashtab.c ƒput_rnode]; NULL referrer -> '-' bucket like the
+    reference's blank-referrer slot."""
+    return df.groupBy(
+        F.coalesce("referrer", F.lit("-")).alias("referrer")
+    ).agg(HITS())
+
+
+def per_agent(df: DataFrame, mangled_col: str = "agent_str") -> DataFrame:
+    """A4 [hashtab.c ƒput_anode] (post-mangle when cfg.mangle_agents>0)."""
+    return df.groupBy(F.col(mangled_col).alias("agent")).agg(HITS())
+
+
+def per_user(df: DataFrame) -> DataFrame:
+    """A5 [hashtab.c ƒput_inode]: authuser/ident table, sessionful."""
+    return (
+        df.filter(F.col("ident").isNotNull())
+        .groupBy(F.col("ident").alias("user"))
+        .agg(HITS(), FILES(), KBYTES(), VISITS())
+    )
+
+
+def per_search_term(df: DataFrame) -> DataFrame:
+    """A6 [hashtab.c ƒput_snode] over extracted search terms."""
+    return (
+        df.filter(F.col("search_term").isNotNull())
+        .groupBy("search_term")
+        .agg(HITS())
+    )
+
+
+def status_histogram(df: DataFrame) -> DataFrame:
+    """A10: response-code histogram [webalizer.c response[] tally]."""
+    return df.groupBy("status").agg(HITS())
+
+
+def per_class(df: DataFrame, class_col: str = "actor_class") -> DataFrame:
+    """A11: country-table recast — hits/files/kbytes per enrichment class."""
+    return df.groupBy(class_col).agg(HITS(), FILES(), KBYTES())
+
+
+def month_summary(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """A9: month totals + distinct cardinalities (t_site/t_url/t_agent/
+    t_user) — the webalizer.hist row [preserve.c ƒput_history]."""
+    return df.groupBy(_grain(ts_col, "month")).agg(
+        *CORE_METRICS(), VISITS(), SITES(),
+        F.countDistinct("tool").alias("urls"),
+        F.countDistinct("agent_str").alias("agents"),
+        F.countDistinct("ident").alias("users"),
+    )
+
+
+def grouped_rollup(df: DataFrame, key: str,
+                   groups: Sequence[tuple[str, str]],
+                   metrics: Sequence[Column] | None = None) -> DataFrame:
+    """A12: Group* wildcard rollup [linklist.c ƒisinglist; hashtab.c
+    OBJ_GRP nodes]: named groups aggregated IN ADDITION to individuals.
+
+    One shuffle via GROUPING SETS ((key), (group_name)); rows where the
+    other column is NULL belong to the opposite set. is_group marks the
+    group rows (OBJ_GRP flag analog). Ungrouped values contribute no
+    group row, like the reference.
+    """
+    mets = list(metrics) if metrics is not None else [HITS(), KBYTES()]
+    tagged = df.withColumn("group_name", group_name(F.col(key), groups))
+    gs = tagged.groupingSets(
+        [[F.col(key)], [F.col("group_name")]], F.col(key), F.col("group_name")
+    ).agg(*mets, F.grouping(key).alias("_gkey"))
+    return (
+        gs.withColumn("is_group", F.col("_gkey") == 1)
+        .filter(
+            (F.col("is_group") & F.col("group_name").isNotNull())
+            | (~F.col("is_group") & F.col(key).isNotNull())
+        )
+        .drop("_gkey")
+    )
+
+
+def averages_and_maxima(daily: DataFrame) -> DataFrame:
+    """A14: per-day averages and maxima for the month-total table and
+    graph y-axis scaling [output.c month_total_table; graphs.c]."""
+    return daily.agg(
+        F.avg("hits").alias("avg_hits"), F.max("hits").alias("max_hits"),
+        F.avg("files").alias("avg_files"), F.max("files").alias("max_files"),
+        F.avg("pages").alias("avg_pages"), F.max("pages").alias("max_pages"),
+        F.avg("kbytes").alias("avg_kbytes"), F.max("kbytes").alias("max_kbytes"),
+    )

@@ -1,0 +1,53 @@
+"""Top-N operators T1-T6 (SURVEY §2.6) — the recast of output.c's
+qsort-the-whole-table-then-take-N [output.c ƒtop_sites_table ƒtop_urls_table
+ƒqs_*_cmph/cmpk comparators].
+
+Spark improves on the reference here: orderBy().limit(N) compiles to
+TakeOrderedAndProject — a per-partition heap of size N plus a driver
+merge, NO global sort, NO full shuffle (reference O8 gap). Ties are
+broken deterministically (metric desc, key asc); the reference's tie
+order is qsort-unstable file order, so equality tests canonicalize
+(SURVEY §5.3).
+
+full_dump() is the '.tab dump / view-all page' analog (T5): a real global
+sort (range partition + local sort) feeding a sink write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_n(df: DataFrame, metric: str | Column, key: str | Column,
+          n: int, extra_tiebreak: list[str] | None = None) -> DataFrame:
+    """Deterministic top-N: metric desc, key asc (then extras asc)."""
+    m = F.col(metric) if isinstance(metric, str) else metric
+    k = F.col(key) if isinstance(key, str) else key
+    order = [m.desc(), k.asc()] + [F.col(c).asc() for c in (extra_tiebreak or [])]
+    return df.orderBy(*order).limit(n)
+
+
+def with_rank(df: DataFrame, metric: str, key: str, n: int) -> DataFrame:
+    """Top-N with an explicit 1-based rank column (report table shape)."""
+    w = Window.orderBy(F.col(metric).desc(), F.col(key).asc())
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def with_share(df: DataFrame, metric: str, total: float | None = None) -> DataFrame:
+    """Append pct share of total — the %-of-total column every reference
+    top-N table prints [output.c table bodies]."""
+    if total is not None:
+        return df.withColumn(
+            "pct", F.round(F.col(metric) * 100.0 / F.lit(total), 4))
+    w = Window.partitionBy()
+    return df.withColumn(
+        "pct", F.round(F.col(metric) * 100.0 / F.sum(metric).over(w), 4))
+
+
+def full_dump(df: DataFrame, metric: str, key: str) -> DataFrame:
+    """T5: full table sorted desc for .tab dumps [output.c ƒdump_all_*]."""
+    return df.orderBy(F.col(metric).desc(), F.col(key).asc())

@@ -1,0 +1,162 @@
+"""End-to-end parse -> enrich -> route -> aggregate plan (SURVEY §3).
+
+Recasts the reference's single record loop [webalizer.c ƒmain: our_gzgets
+-> parse_record -> filters -> normalize -> put_* tallies -> month rollover
+-> write reports] into the Spark lifecycle:
+
+  read transcripts (columnar scan; partition pruning = resume filter)
+    -> PARSE   grok text -> typed fields; ok/bad split        (narrow)
+    -> ENRICH  broadcast joins (role/tool/bytes/engine)       (narrow)
+    -> SESSIONIZE gap-and-island windows                      (shuffle #1)
+    -> persist()  <- O2: ONE scan feeds every sink and report
+    -> ROUTE   fan-out sinks: errors / tool_calls / per-role  (narrow)
+    -> AGGREGATE report tables (time grains, dimensions)      (shuffle #2,
+                                       AQE-coalesced, tiny key spaces)
+    -> TOPN    TakeOrderedAndProject per report
+
+The explicit persist is the design, not an afterthought: Spark will not
+fuse separate actions into one scan by itself, and the reference's whole
+architecture is "one pass feeds all tables" [webalizer.c main loop]. At
+100 TB use MEMORY_AND_DISK on the parsed+enriched+sessionized projection
+(much narrower than raw text once `text` is dropped from the cached set
+— we keep it only for the errors sink, which is routed BEFORE caching).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from webalizer_spark.config import DEFAULT_CONFIG, EngineConfig
+from webalizer_spark.functions.scalars import agent_mangle
+from webalizer_spark.operators import aggregates as A
+from webalizer_spark.operators import topn as T
+from webalizer_spark.operators.enrich import enrich_all
+from webalizer_spark.operators.filters import hide, ignore_include
+from webalizer_spark.operators.parse import parse_transcripts, split_ok_bad
+from webalizer_spark.operators.sessionize import (
+    entry_counts,
+    entry_exit,
+    exit_counts,
+    sessionize,
+    sessionize_skew_safe,
+)
+
+
+@dataclass
+class PipelineResult:
+    """Lazy handles to every sink/report DataFrame; materialize via write()
+    or collect what you need. ``enriched`` is the cached spine."""
+
+    enriched: DataFrame
+    errors: DataFrame
+    tool_calls: DataFrame
+    by_role: DataFrame
+    reports: dict[str, DataFrame] = field(default_factory=dict)
+
+    def unpersist(self) -> None:
+        self.enriched.unpersist()
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    dims: dict[str, DataFrame],
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    grok_strategy: str = "split",
+    skew_safe: bool = False,
+    persist_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> PipelineResult:
+    # -- PARSE ------------------------------------------------------------
+    parsed = parse_transcripts(transcripts, grok_strategy, cfg)
+    ok, errors = split_ok_bad(parsed)
+
+    # Ignore/Include filters run pre-aggregation [webalizer.c loop order]
+    ok = ignore_include(ok, "conv_id", cfg.lists.ignore_site, cfg.lists.include_site)
+    ok = ignore_include(ok, "path", cfg.lists.ignore_url, cfg.lists.include_url)
+    ok = ignore_include(ok, "agent_str", cfg.lists.ignore_agent)
+    if cfg.mangle_agents:
+        ok = ok.withColumn("agent_str", agent_mangle(F.col("agent_str"), cfg.mangle_agents))
+
+    # -- ENRICH -----------------------------------------------------------
+    enriched = enrich_all(ok, dims)
+
+    # -- SESSIONIZE -------------------------------------------------------
+    sess = (sessionize_skew_safe if skew_safe else sessionize)(
+        enriched, cfg.visit_timeout_s)
+
+    # drop the fat raw line from the cached spine (errors keep theirs)
+    spine = sess.drop("text").persist(persist_level)
+
+    # -- ROUTE (fan-out sinks, all narrow reads of the spine) -------------
+    tool_calls = spine.filter(F.col("tool").isNotNull())
+    by_role = spine  # per-role sinks are partitionBy('role') at write time
+
+    # -- AGGREGATE / report tables ----------------------------------------
+    sess_pages = entry_exit(spine)
+    n = cfg.topn
+    reports: dict[str, DataFrame] = {
+        "hourly": A.hour_of_day_profile(spine),
+        "daily": A.time_totals(spine, "day", with_sessions=True),
+        "monthly": A.month_summary(spine),
+        "status_codes": A.status_histogram(spine),
+        "by_actor_class": A.per_class(spine, "actor_class"),
+        "by_tool_family": A.per_class(spine, "tool_family"),
+        "by_size_class": A.per_class(spine, "size_class"),
+        "top_sites": T.top_n(A.per_site(spine), "hits", "conv_id", n.sites),
+        "top_sites_by_kb": T.top_n(A.per_site(spine), "kbytes", "conv_id", n.sites_by_kb),
+        "top_tools": hide(T.top_n(A.per_url(spine), "hits", "tool", n.urls),
+                          "tool", cfg.lists.hide_url),
+        "top_tools_by_kb": T.top_n(A.per_url(spine), "kbytes", "tool", n.urls_by_kb),
+        "top_referrers": hide(T.top_n(A.per_referrer(spine), "hits", "referrer",
+                                      n.referrers),
+                              "referrer", cfg.lists.hide_referrer),
+        "top_agents": hide(T.top_n(A.per_agent(spine), "hits", "agent", n.agents),
+                           "agent", cfg.lists.hide_agent),
+        "top_users": T.top_n(A.per_user(spine), "hits", "user", n.users),
+        "top_search": T.top_n(A.per_search_term(spine), "hits", "search_term",
+                              n.search),
+        "top_entry": T.top_n(entry_counts(sess_pages), "entries", "page", n.entry),
+        "top_exit": T.top_n(exit_counts(sess_pages), "exits", "page", n.exit),
+    }
+    if cfg.lists.group_url:
+        reports["grouped_tools"] = A.grouped_rollup(
+            spine.filter(F.col("tool").isNotNull()), "tool", cfg.lists.group_url)
+
+    return PipelineResult(
+        enriched=spine, errors=errors, tool_calls=tool_calls,
+        by_role=by_role, reports=reports,
+    )
+
+
+def write_sinks(result: PipelineResult, out_base: str) -> dict[str, int]:
+    """Materialize the fan-out (S5/S6 analog). Returns per-sink row counts
+    via observed metrics — no extra pass over the data.
+
+    Sinks: errors/, tool_calls/, by_role/ (partitioned by role), and one
+    directory per report table.
+    """
+    import os
+
+    from pyspark.sql import Observation
+
+    counts: dict[str, int] = {}
+
+    def w(df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        obs = Observation(f"sink_{name}")
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = observed.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(out_base, name))
+        counts[name] = obs.get["rows"]
+
+    w(result.errors, "errors")
+    w(result.tool_calls, "tool_calls")
+    w(result.by_role, "by_role", partition_by=["role"])
+    for name, df in result.reports.items():
+        w(df, f"reports/{name}")
+    return counts
