@@ -1,0 +1,840 @@
+"""Driver-contract query registry (SURVEY §5.2).
+
+Every implemented operator from SURVEY §2 appears here as a named query:
+a PySpark callable (spark, sf_dir) -> DataFrame plus an ANSI-SQL twin
+that DuckDB runs on the same parquet (views pre-registered by the driver:
+region nation customer supplier part orders lineitem events documents
+embeddings). The driver compares row count + schema + order-insensitive
+value hash at sf=0.01.
+
+Determinism rules used throughout so the two engines are BIT-equal:
+  - counts stay bigint; double sums go through CAST(x AS DECIMAL(18,6))
+    before SUM (exact, order-independent) and back to double after;
+  - every computed column is aliased identically on both sides;
+  - top-N queries embed an explicit row_number tie-break;
+  - session gaps use floor-to-second epochs on both sides (matches the
+    reference's second-granularity timestamps [webalizer.c ƒjdate]).
+
+The transcript-pipeline queries (tr_*) run on the deterministic synthetic
+fixture (datagen.py) because the transcript table is not one of the
+driver's DuckDB views — the driver records rows-only checks for them;
+full value assertions for those live in tests/ against the pandas
+mini-oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webalizer_spark.operators import aggregates as A  # noqa: F401 (parity)
+from webalizer_spark.operators.sessionize import entry_exit, sessionize
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col: str) -> F.Column:
+    """Order-independent double sum: exact decimal accumulate -> double."""
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+
+
+_DSUM_SQL = "CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# =========================================================================
+# events — webalizer-operator analogs on the driver's stream table
+# (user_id ~ site/conv, event_type ~ tool/url, value ~ bytes)
+# =========================================================================
+
+@q("evt_top_event_types", f"""
+SELECT event_type,
+       COUNT(*) AS hits,
+       {_DSUM_SQL.format(c='value')} AS total_value
+FROM events GROUP BY event_type
+""")
+def evt_top_event_types(spark, sf):
+    """A2/T2 analog: per-dimension agg feeding the top-N table."""
+    return _t(spark, sf, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("hits"),
+        _dsum("value").alias("total_value"),
+    )
+
+
+@q("evt_hourly_totals", f"""
+SELECT date_trunc('hour', ts) AS hour_ts,
+       COUNT(*) AS hits,
+       COUNT(DISTINCT user_id) AS sites,
+       {_DSUM_SQL.format(c='value')} AS total_value
+FROM events GROUP BY 1
+""")
+def evt_hourly_totals(spark, sf):
+    """A7: hourly totals table [webalizer.c th_* arrays]."""
+    return _t(spark, sf, "events").groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("hits"),
+        F.countDistinct("user_id").alias("sites"),
+        _dsum("value").alias("total_value"),
+    )
+
+
+@q("evt_daily_totals", f"""
+SELECT date_trunc('day', ts) AS day_ts,
+       COUNT(*) AS hits,
+       COUNT(DISTINCT user_id) AS sites,
+       COUNT(DISTINCT event_type) AS types,
+       {_DSUM_SQL.format(c='value')} AS total_value
+FROM events GROUP BY 1
+""")
+def evt_daily_totals(spark, sf):
+    """A8: daily totals incl. per-day distinct sites (sd_htab analog)."""
+    return _t(spark, sf, "events").groupBy(
+        F.date_trunc("day", "ts").alias("day_ts")).agg(
+        F.count(F.lit(1)).alias("hits"),
+        F.countDistinct("user_id").alias("sites"),
+        F.countDistinct("event_type").alias("types"),
+        _dsum("value").alias("total_value"),
+    )
+
+
+@q("evt_hour_profile", """
+SELECT CAST(hour(ts) AS INT) AS hour, COUNT(*) AS hits
+FROM events GROUP BY 1
+""")
+def evt_hour_profile(spark, sf):
+    """A7 variant: 24-row hour-of-day profile."""
+    return _t(spark, sf, "events").groupBy(
+        F.hour("ts").cast("int").alias("hour")).agg(
+        F.count(F.lit(1)).alias("hits"))
+
+
+# --- sessionization family (W1-W3) --------------------------------------
+
+_SESSION_CTE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), f AS (
+  SELECT *,
+         CASE WHEN lag(es) OVER w IS NULL
+                OR es - lag(es) OVER w >= 1800
+              THEN 1 ELSE 0 END AS isnew
+  FROM o
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(isnew) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f
+)
+"""
+
+
+def _evt_sessions(spark, sf):
+    ev = _t(spark, sf, "events")
+    return sessionize(ev, 1800, key="user_id", ts_col="ts", tiebreak="event_id")
+
+
+@q("evt_sessions_per_user", _SESSION_CTE + """
+SELECT user_id, CAST(SUM(isnew) AS BIGINT) AS sessions, COUNT(*) AS hits
+FROM s GROUP BY user_id
+""")
+def evt_sessions_per_user(spark, sf):
+    """W1: visit detection — 30-min gap-and-island per user."""
+    return _evt_sessions(spark, sf).groupBy("user_id").agg(
+        F.count_if("is_new_session").alias("sessions"),
+        F.count(F.lit(1)).alias("hits"),
+    )
+
+
+@q("evt_session_stats", _SESSION_CTE + """
+SELECT CAST(SUM(isnew) AS BIGINT) AS total_sessions,
+       COUNT(*) AS total_hits,
+       CAST(COUNT(*) AS DOUBLE) / SUM(isnew) AS hits_per_session
+FROM s
+""")
+def evt_session_stats(spark, sf):
+    """A9 visit totals: t_visit plus mean visit depth."""
+    return _evt_sessions(spark, sf).agg(
+        F.count_if("is_new_session").alias("total_sessions"),
+        F.count(F.lit(1)).alias("total_hits"),
+        (F.count(F.lit(1)).cast("double")
+         / F.count_if("is_new_session")).alias("hits_per_session"),
+    )
+
+
+@q("evt_entry_types", _SESSION_CTE + """
+, r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+)
+SELECT event_type AS page, COUNT(*) AS entries FROM r WHERE rn = 1 GROUP BY 1
+""")
+def evt_entry_types(spark, sf):
+    """W2: entry-page counts (first event of each session)."""
+    sess = _evt_sessions(spark, sf)
+    # every event counts as a 'page' here (event_type is never NULL)
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("page"))
+    return per.groupBy("page").agg(F.count(F.lit(1)).alias("entries"))
+
+
+@q("evt_exit_types", _SESSION_CTE + """
+, r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM s
+)
+SELECT event_type AS page, COUNT(*) AS exits FROM r WHERE rn = 1 GROUP BY 1
+""")
+def evt_exit_types(spark, sf):
+    """W3: exit-page counts (last event of each session)."""
+    sess = _evt_sessions(spark, sf)
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("page"))
+    return per.groupBy("page").agg(F.count(F.lit(1)).alias("exits"))
+
+
+@q("evt_top_users_by_value", f"""
+WITH agg AS (
+  SELECT user_id, COUNT(*) AS hits,
+         {_DSUM_SQL.format(c='value')} AS total_value
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id ASC) AS rank
+  FROM agg
+)
+SELECT CAST(rank AS INT) AS rank, user_id, hits, total_value
+FROM r WHERE rank <= 20
+""")
+def evt_top_users_by_value(spark, sf):
+    """T1/T4: deterministic top-N (metric desc, key asc) with rank."""
+    from pyspark.sql import Window
+    agg = _t(spark, sf, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("hits"), _dsum("value").alias("total_value"))
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return (agg.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 20)
+            .select("rank", "user_id", "hits", "total_value"))
+
+
+@q("evt_type_share", """
+SELECT event_type, COUNT(*) AS hits,
+       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 4) AS pct
+FROM events GROUP BY event_type
+""")
+def evt_type_share(spark, sf):
+    """F10: percent-of-total share math [output.c pie tables]."""
+    from pyspark.sql import Window
+    agg = _t(spark, sf, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("hits"))
+    return agg.withColumn(
+        "pct", F.round(F.col("hits") * 100.0 / F.sum("hits").over(Window.partitionBy()), 4))
+
+
+@q("evt_json_extract", """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS hits
+FROM events GROUP BY event_type
+""")
+def evt_json_extract(spark, sf):
+    """S2 sidecar: structured payload extraction (props JSON)."""
+    return _t(spark, sf, "events").groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+        F.count(F.lit(1)).alias("hits"),
+    )
+
+
+@q("evt_value_range_join", f"""
+WITH ranges(lo, hi, size_class) AS (
+  VALUES (0.0, 5.0, 'low'), (5.0, 15.0, 'mid'), (15.0, 1e9, 'high')
+)
+SELECT size_class, COUNT(*) AS hits, {_DSUM_SQL.format(c='value')} AS total_value
+FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+GROUP BY size_class
+""")
+def evt_value_range_join(spark, sf):
+    """J3: broadcast range join (GeoDB [lo,hi] lookup recast)."""
+    ranges = spark.createDataFrame(
+        [(0.0, 5.0, "low"), (5.0, 15.0, "mid"), (15.0, 1e9, "high")],
+        "lo double, hi double, size_class string")
+    ev = _t(spark, sf, "events")
+    cond = (ev["value"] >= ranges["lo"]) & (ev["value"] < ranges["hi"])
+    return (ev.join(F.broadcast(ranges), cond, "inner")
+            .groupBy("size_class")
+            .agg(F.count(F.lit(1)).alias("hits"),
+                 _dsum("value").alias("total_value")))
+
+
+@q("evt_ignore_filter", """
+SELECT date_trunc('day', ts) AS day_ts, COUNT(*) AS hits
+FROM events WHERE event_type NOT IN ('error') GROUP BY 1
+""")
+def evt_ignore_filter(spark, sf):
+    """P2: Ignore-list pre-aggregation filter (pushdown)."""
+    return (_t(spark, sf, "events")
+            .filter(~F.col("event_type").isin("error"))
+            .groupBy(F.date_trunc("day", "ts").alias("day_ts"))
+            .agg(F.count(F.lit(1)).alias("hits")))
+
+
+@q("evt_grouping_sets", """
+SELECT event_type, date_trunc('day', ts) AS day_ts, COUNT(*) AS hits,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day
+FROM events
+GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)))
+""")
+def evt_grouping_sets(spark, sf):
+    """A12: GROUPING SETS — per-type and per-day aggregates in ONE shuffle."""
+    ev = _t(spark, sf, "events").withColumn(
+        "day_ts", F.date_trunc("day", "ts"))
+    return (ev.groupingSets([[F.col("event_type")], [F.col("day_ts")]],
+                            F.col("event_type"), F.col("day_ts"))
+            .agg(F.count(F.lit(1)).alias("hits"),
+                 F.grouping("event_type").cast("int").alias("g_type"),
+                 F.grouping("day_ts").cast("int").alias("g_day"))
+            .select("event_type", "day_ts", "hits", "g_type", "g_day"))
+
+
+@q("evt_rollup", """
+SELECT date_trunc('day', ts) AS day_ts, CAST(hour(ts) AS INT) AS hour,
+       COUNT(*) AS hits, CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day,
+       CAST(GROUPING(hour(ts)) AS INT) AS g_hour
+FROM events GROUP BY ROLLUP (date_trunc('day', ts), hour(ts))
+""")
+def evt_rollup(spark, sf):
+    """A9: multi-grain rollup (day, hour) + grand total in one shuffle."""
+    ev = (_t(spark, sf, "events")
+          .withColumn("day_ts", F.date_trunc("day", "ts"))
+          .withColumn("hour", F.hour("ts").cast("int")))
+    return (ev.rollup("day_ts", "hour")
+            .agg(F.count(F.lit(1)).alias("hits"),
+                 F.grouping("day_ts").cast("int").alias("g_day"),
+                 F.grouping("hour").cast("int").alias("g_hour"))
+            .select("day_ts", "hour", "hits", "g_day", "g_hour"))
+
+
+# =========================================================================
+# TPC-H-ish tables — general agg/join operator evidence (S1, J1-J2, A*, T*)
+# =========================================================================
+
+@q("tpch_pricing_summary", f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM_SQL.format(c='l_quantity')} AS sum_qty,
+       {_DSUM_SQL.format(c='l_extendedprice')} AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_pricing_summary(spark, sf):
+    """Scan + filter-pushdown + hash aggregate (TPC-H Q1 shape)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_dsum("l_quantity").alias("sum_qty"),
+                 _dsum("l_extendedprice").alias("sum_base_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@q("tpch_broadcast_chain", """
+SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""")
+def tpch_broadcast_chain(spark, sf):
+    """J1/J2: chained broadcast joins fact x dim x dim."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("customers"),
+                 _dsum("c_acctbal").alias("total_acctbal")))
+
+
+@q("tpch_join_agg", """
+SELECT o.o_orderpriority,
+       COUNT(*) AS line_count,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""")
+def tpch_join_agg(spark, sf):
+    """Large-side shuffle join + aggregate (AQE-planned)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("line_count"),
+                 F.sum(rev).cast("double").alias("revenue")))
+
+
+@q("tpch_top_parts", f"""
+WITH agg AS (
+  SELECT l_partkey, {_DSUM_SQL.format(c='l_quantity')} AS total_qty,
+         COUNT(*) AS hits
+  FROM lineitem GROUP BY l_partkey
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY total_qty DESC, l_partkey ASC) AS rank
+  FROM agg
+)
+SELECT CAST(rank AS INT) AS rank, l_partkey, total_qty, hits
+FROM r WHERE rank <= 10
+""")
+def tpch_top_parts(spark, sf):
+    """T2: top-N over a larger key space, deterministic tie-break."""
+    from pyspark.sql import Window
+    agg = _t(spark, sf, "lineitem").groupBy("l_partkey").agg(
+        _dsum("l_quantity").alias("total_qty"), F.count(F.lit(1)).alias("hits"))
+    w = Window.orderBy(F.col("total_qty").desc(), F.col("l_partkey").asc())
+    return (agg.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 10)
+            .select("rank", "l_partkey", "total_qty", "hits"))
+
+
+@q("tpch_semi_anti", """
+SELECT
+  (SELECT COUNT(*) FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    AS with_orders,
+  (SELECT COUNT(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    AS without_orders
+""")
+def tpch_semi_anti(spark, sf):
+    """Semi/anti join (engine-internal idiom for P2 Ignore-list joins)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").count()
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").count()
+    return spark.createDataFrame([(semi, anti)],
+                                 "with_orders bigint, without_orders bigint")
+
+
+# =========================================================================
+# documents — training-data pipeline ops: dedup + text analysis
+# =========================================================================
+
+_TOKS_CTE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+)
+"""
+
+
+def _doc_tokens(spark, sf):
+    """Distinct token set per document (shingle base for dedup ops)."""
+    return (_t(spark, sf, "documents")
+            .select("doc_id", F.explode(F.array_distinct(
+                F.split("text", " "))).alias("tok")))
+
+
+@q("doc_dedup_exact", """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_rows
+FROM documents
+""")
+def doc_dedup_exact(spark, sf):
+    """Exact dedup: content-hash groups (hash-groupBy)."""
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dup_rows"),
+    )
+
+
+@q("doc_fingerprint", """
+SELECT source,
+       COUNT(DISTINCT substr(md5(text), 1, 16)) AS distinct_fps,
+       COUNT(*) AS docs
+FROM documents GROUP BY source
+""")
+def doc_fingerprint(spark, sf):
+    """Document fingerprinting: stable 64-bit content fingerprint."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct(F.substring(F.md5("text"), 1, 16)).alias("distinct_fps"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+
+
+@q("doc_ngram_jaccard", _TOKS_CTE + """
+, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.95
+""")
+def doc_ngram_jaccard(spark, sf):
+    """Near-dup detection: exact token-set Jaccard >= 0.95 pairs.
+
+    Shuffle shape at scale: explode -> self-join on token (token-
+    partitioned) -> pair aggregate; stop-token filtering would bound the
+    hottest token's pair blowup (documented; vocab here is tiny).
+    """
+    toks = _doc_tokens(spark, sf)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = (F.col("i").cast("double")
+           / (F.col("sza") + F.col("szb") - F.col("i")))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= 0.95)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+@q("doc_minhash_signatures", _TOKS_CTE + """
+, seeds AS (SELECT unnest(range(8)) AS seed)
+SELECT doc_id, CAST(seed AS INT) AS seed,
+       MIN(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || tok), 1, 15))
+                AS BIGINT)) AS minhash
+FROM toks CROSS JOIN seeds
+GROUP BY doc_id, seed
+""")
+def doc_minhash_signatures(spark, sf):
+    """MinHash signatures (8 deterministic md5-keyed hash functions).
+
+    At scale: explode(shingles) x tiny seed dim -> ONE groupBy(doc, seed)
+    min-aggregate; partial aggregation collapses the fan-out map-side.
+    """
+    toks = _doc_tokens(spark, sf)
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", F.col("seed").cast("string"),
+                                             F.col("tok"))), 1, 15),
+               16, 10).cast("bigint")
+    return (toks.crossJoin(F.broadcast(seeds))
+            .groupBy("doc_id", "seed")
+            .agg(F.min(h).alias("minhash")))
+
+
+@q("doc_minhash_lsh_pairs", _TOKS_CTE + """
+, seeds AS (SELECT unnest(range(8)) AS seed),
+sig AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed, CAST(seed // 2 AS INT) AS band,
+         MIN(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || tok), 1, 15))
+                  AS BIGINT)) AS minhash
+  FROM toks CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""")
+def doc_minhash_lsh_pairs(spark, sf):
+    """MinHash + LSH banding: candidate near-dup pairs via band-bucket join
+    (4 bands x 2 rows). The scale path for doc_ngram_jaccard: candidates
+    only, no all-pairs join."""
+    toks = _doc_tokens(spark, sf)
+    seeds = spark.range(8).select(F.col("id").cast("int").alias("seed"))
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", F.col("seed").cast("string"),
+                                             F.col("tok"))), 1, 15),
+               16, 10).cast("bigint")
+    sig = (toks.crossJoin(F.broadcast(seeds))
+           .groupBy("doc_id", "seed")
+           .agg(F.min(h).alias("minhash"))
+           .withColumn("band", (F.col("seed") / 2).cast("int")))
+    bands = (sig.groupBy("doc_id", "band")
+             .agg(F.array_join(F.transform(
+                 F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                 lambda s: s["minhash"].cast("string")), ",").alias("band_key")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+@q("doc_token_stats", """
+SELECT source, COUNT(*) AS docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens
+FROM documents GROUP BY source
+""")
+def doc_token_stats(spark, sf):
+    """Token counting (whitespace tokenizer) per source."""
+    d = _t(spark, sf, "documents").withColumn(
+        "ntok", F.size(F.split("text", " ")))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.avg("ntok"), 6).alias("avg_tokens"),
+    )
+
+
+@q("doc_lang_id", """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the','a','of','and','to','in','is')))
+              AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+)
+SELECT CASE WHEN stop_ratio >= 0.02 THEN 'en' ELSE 'unk' END AS lang_pred,
+       COUNT(*) AS docs,
+       CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS labeled_en
+FROM scored GROUP BY 1
+""")
+def doc_lang_id(spark, sf):
+    """Language-ID heuristic: stopword-ratio thresholding."""
+    stop = ["the", "a", "of", "and", "to", "in", "is"]
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    ratio = (F.size(F.filter(toks, lambda t: t.isin(stop))).cast("double")
+             / F.size(toks))
+    scored = d.withColumn(
+        "lang_pred", F.when(ratio >= 0.02, "en").otherwise("unk"))
+    return scored.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_if(F.col("lang") == "en").alias("labeled_en"),
+    )
+
+
+@q("doc_quality", """
+WITH feats AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS ntok,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+           / length(text) AS space_ratio
+  FROM documents
+)
+SELECT CASE WHEN ntok >= 60 THEN 'long' WHEN ntok >= 30 THEN 'mid'
+            ELSE 'short' END AS quality_bucket,
+       COUNT(*) AS docs,
+       ROUND(AVG(space_ratio), 6) AS avg_space_ratio,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM feats GROUP BY 1
+""")
+def doc_quality(spark, sf):
+    """Quality scoring: length/token/whitespace features -> buckets."""
+    d = _t(spark, sf, "documents")
+    ntok = F.size(F.split("text", " "))
+    space_ratio = ((F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+                   .cast("double") / F.length("text"))
+    feats = d.select(
+        "n_chars", ntok.alias("ntok"), space_ratio.alias("space_ratio"))
+    bucket = (F.when(F.col("ntok") >= 60, "long")
+              .when(F.col("ntok") >= 30, "mid").otherwise("short"))
+    return feats.groupBy(bucket.alias("quality_bucket")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.round(F.avg("space_ratio"), 6).alias("avg_space_ratio"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# =========================================================================
+# embeddings — similarity search (ANN) ops
+# =========================================================================
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D,"
+        " (acc, v) -> acc + v)")
+_NORM = ("sqrt(aggregate({a}, 0D, (acc, v) ->"
+         " acc + CAST(v AS DOUBLE) * v))")
+
+
+@q("emb_norms_by_label", """
+SELECT label,
+       COUNT(*) AS vecs,
+       ROUND(AVG(sqrt(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))), 6)
+         AS avg_norm
+FROM embeddings GROUP BY label
+""")
+def emb_norms_by_label(spark, sf):
+    """Vector feature extraction: mean L2 norm per label."""
+    e = _t(spark, sf, "embeddings")
+    norm = F.expr(_NORM.format(a="embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("vecs"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+    )
+
+
+@q("emb_cosine_topk", """
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cos
+FROM r WHERE rank <= 5
+""")
+def emb_cosine_topk(spark, sf):
+    """Brute-force cosine top-k: the exact ANN baseline.
+
+    At scale: queries x corpus via broadcast of the (small) query set,
+    ranked per query by a size-k window — no global sort. The IVF/LSH
+    scale path is emb_lsh_signatures/emb_lsh_buckets.
+    """
+    from pyspark.sql import Window
+    e = _t(spark, sf, "embeddings")
+    a = (e.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("ea")))
+    b = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("eb"))
+    cos = (F.expr(_DOT.format(a="ea", b="eb"))
+           / (F.expr(_NORM.format(a="ea")) * F.expr(_NORM.format(a="eb"))))
+    pairs = (F.broadcast(a).crossJoin(b)
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("cos", cos))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("cos", 6).alias("cos")))
+
+
+@q("emb_lsh_signatures", """
+WITH dims AS (SELECT unnest(range(64)) AS i),
+planes AS (SELECT unnest(range(8)) AS j),
+w AS (
+  SELECT j, i,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                                        || CAST(i AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS wt
+  FROM planes, dims
+),
+proj AS (
+  SELECT e.vec_id, w.j,
+         SUM(CAST(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt
+                  AS DECIMAL(18,12))) AS p
+  FROM embeddings e, w GROUP BY 1, 2
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN p >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS sig
+FROM proj GROUP BY vec_id
+""")
+def emb_lsh_signatures(spark, sf):
+    """Random-hyperplane LSH signatures (8 deterministic md5-seeded
+    hyperplanes with +-1 weights; exact-decimal projections so the sign
+    is order-independent). The ANN scale path: bucket by signature,
+    search within bucket."""
+    e = _t(spark, sf, "embeddings")
+    dims = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    planes = spark.range(8).select(F.col("id").cast("int").alias("j"))
+    wt = F.when(
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.col("j").cast("string"), F.col("i").cast("string"))), 1, 8),
+            16, 10).cast("bigint") % 2 == 0,
+        F.lit(1.0)).otherwise(F.lit(-1.0))
+    w = planes.crossJoin(dims).withColumn("wt", wt)
+    x = (F.element_at("embedding", F.col("i") + 1).cast("double")
+         * F.col("wt")).cast("decimal(18,12)")
+    proj = (e.crossJoin(F.broadcast(w))
+            .groupBy("vec_id", "j").agg(F.sum(x).alias("p")))
+    bit = F.when(F.col("p") >= 0,
+                 F.pow(F.lit(2), F.col("j")).cast("bigint")).otherwise(F.lit(0))
+    return proj.groupBy("vec_id").agg(F.sum(bit).cast("bigint").alias("sig"))
+
+
+@q("emb_lsh_buckets", """
+WITH dims AS (SELECT unnest(range(64)) AS i),
+planes AS (SELECT unnest(range(8)) AS j),
+w AS (
+  SELECT j, i,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|'
+                                        || CAST(i AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS wt
+  FROM planes, dims
+),
+proj AS (
+  SELECT e.vec_id, w.j,
+         SUM(CAST(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt
+                  AS DECIMAL(18,12))) AS p
+  FROM embeddings e, w GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN p >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM proj GROUP BY vec_id
+)
+SELECT sig, COUNT(*) AS bucket_size FROM sig GROUP BY sig
+""")
+def emb_lsh_buckets(spark, sf):
+    """LSH bucket histogram — the candidate-set size the ANN path scans."""
+    return emb_lsh_signatures(spark, sf).groupBy("sig").agg(
+        F.count(F.lit(1)).alias("bucket_size"))
+
+
+@q("emb_near_dup_cosine", """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+""")
+def emb_near_dup_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (>= 0.45) — the semantic-dedup op."""
+    e = _t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = (F.expr(_DOT.format(a="ea", b="eb"))
+           / (F.expr(_NORM.format(a="ea")) * F.expr(_NORM.format(a="eb"))))
+    return (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("_c", cos).filter(F.col("_c") >= 0.45)
+            .select("vec_a", "vec_b", F.round("_c", 6).alias("cos")))
