@@ -838,3 +838,93 @@ def emb_near_dup_cosine(spark, sf):
     return (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
             .withColumn("_c", cos).filter(F.col("_c") >= 0.45)
             .select("vec_a", "vec_b", F.round("_c", 6).alias("cos")))
+
+
+@q("doc_simhash", _TOKS_CTE + """
+, h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM toks
+), bits AS (
+  SELECT doc_id, b.j,
+         SUM(2 * ((th >> b.j) & 1) - 1) AS w
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j) b
+  GROUP BY doc_id, b.j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN w >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""")
+def doc_simhash(spark, sf):
+    """SimHash fingerprints (16-bit, md5-derived token hashes).
+
+    Pure integer arithmetic -> order-independent and exactly
+    reproducible. At scale: explode(tokens) x 16-bit dim, ONE
+    groupBy(doc, bit) with map-side partial sums, then a per-doc pack."""
+    toks = _doc_tokens(spark, sf)
+    th = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    bits = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    w = F.expr("2 * (shiftright(th, j) & 1) - 1")
+    per_bit = (toks.withColumn("th", th)
+               .crossJoin(F.broadcast(bits))
+               .groupBy("doc_id", "j").agg(F.sum(w).alias("w")))
+    bit = F.when(F.col("w") >= 0,
+                 F.pow(F.lit(2), F.col("j")).cast("bigint")).otherwise(F.lit(0))
+    return per_bit.groupBy("doc_id").agg(F.sum(bit).cast("bigint").alias("simhash"))
+
+
+# =========================================================================
+# transcripts — flagship pipeline queries on the deterministic fixture
+# (rows-only for the driver: the transcript table is not a DuckDB view;
+#  full value assertions live in tests/test_pipeline.py vs the pandas
+#  mini-oracle)
+# =========================================================================
+
+_FIXTURE_BASE = "/root/repo/_gen"
+
+
+def _fixture(spark):
+    from webalizer_spark.datagen import ensure_fixture
+    d = ensure_fixture(_FIXTURE_BASE)
+    tr = spark.read.parquet(f"{d}/transcripts.parquet")
+    dims = {n: spark.read.parquet(f"{d}/{n}.parquet")
+            for n in ["role_class", "tool_family", "byte_ranges",
+                      "engine_params", "name_groups"]}
+    return tr, dims
+
+
+def _tr_pipeline(spark):
+    from webalizer_spark.plans.pipeline import run_pipeline
+    tr, dims = _fixture(spark)
+    return run_pipeline(spark, tr, dims)
+
+
+@q("tr_top_tools")
+def tr_top_tools(spark, sf):
+    """Flagship: parse->enrich->sessionize->top tools by calls (T2)."""
+    return _tr_pipeline(spark).reports["top_tools"]
+
+
+@q("tr_daily_totals")
+def tr_daily_totals(spark, sf):
+    """Pipeline daily table: hits/files/pages/errors/kbytes/sites/visits."""
+    return _tr_pipeline(spark).reports["daily"]
+
+
+@q("tr_status_histogram")
+def tr_status_histogram(spark, sf):
+    """Response-code histogram grokked out of the text column (A10)."""
+    return _tr_pipeline(spark).reports["status_codes"]
+
+
+@q("tr_errors_sink")
+def tr_errors_sink(spark, sf):
+    """Bad-record routing: corrupt lines -> errors sink (S4)."""
+    return _tr_pipeline(spark).errors
+
+
+@q("tr_search_terms")
+def tr_search_terms(spark, sf):
+    """Referrer search-term extraction + top table (J4/F4/A6)."""
+    return _tr_pipeline(spark).reports["top_search"]
