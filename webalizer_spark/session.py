@@ -30,7 +30,11 @@ _ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.files.maxPartitionBytes": "128m",
+    # local sandbox reads single-file fixtures: small split size keeps all
+    # cores busy on the scan; on a real cluster (many files) override to
+    # 128m+ via SPARK_GRAFT_MAX_PARTITION_BYTES
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
     "spark.sql.parquet.compression.codec": "snappy",
 }
 
