@@ -1,0 +1,100 @@
+"""spark-submit entry point (SURVEY §7 M9).
+
+Cluster usage:
+  zip -r engine.zip webalizer_spark
+  spark-submit --py-files engine.zip \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=rest ... \
+      jobs/run_pipeline.py --input lake.db.transcripts --dims lake.db \
+      --output lake.db --checkpoint s3://bucket/ckpt --incremental
+
+Local/sandbox usage (parquet shim, no Iceberg jar needed):
+  python jobs/run_pipeline.py --input /root/repo/_gen/sf_test \
+      --output /tmp/out --checkpoint /tmp/ckpt
+
+The job is the reference's EP1/EP2 lifecycle [webalizer.c ƒmain;
+preserve.c]: read -> parse -> enrich -> sessionize (resume-aware when
+--incremental and a checkpoint exists) -> fan-out sinks + report tables
+-> save checkpoint state + manifest. Prints the end-of-run summary line
+(records, seconds, records/sec) like the reference does at the end of
+ƒmain.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="transcripts: parquet dir (with transcripts.parquet) "
+                         "or Iceberg table id")
+    ap.add_argument("--dims", default=None,
+                    help="dimension tables location (default: same as input)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--skew-safe", action="store_true",
+                    help="use the range-partitioned sessionization path")
+    ap.add_argument("--grok", default="split",
+                    choices=["split", "regexp", "pandas"])
+    ap.add_argument("--visit-timeout", type=int, default=1800)
+    args = ap.parse_args()
+
+    from webalizer_spark import EngineConfig, get_spark
+    from webalizer_spark.plans.checkpoint import (
+        CheckpointPaths,
+        resume_filter,
+        resume_sessionize,
+        save_state,
+    )
+    from webalizer_spark.plans.pipeline import run_pipeline, write_sinks
+    from webalizer_spark.sources.tables import TableIO
+
+    spark = get_spark(app_name="webalizer_spark_pipeline", master="")
+    cfg = EngineConfig(visit_timeout_s=args.visit_timeout,
+                       incremental=args.incremental)
+
+    io_in = TableIO(spark, base_path=args.input)
+    tr = io_in.read("transcripts")
+    dims_io = TableIO(spark, base_path=args.dims or args.input)
+    dims = {n: dims_io.read(n) for n in
+            ["role_class", "tool_family", "byte_ranges", "engine_params",
+             "name_groups"]}
+
+    t0 = time.time()
+    ckpt = CheckpointPaths(args.checkpoint) if args.checkpoint else None
+    resumed = (args.incremental and ckpt is not None
+               and os.path.exists(ckpt.manifest))
+    sessionizer = None
+    if resumed:
+        tr = resume_filter(tr, ckpt)
+        # session numbering continues the saved per-conv state
+        sessionizer = lambda df: resume_sessionize(  # noqa: E731
+            df, ckpt, cfg.visit_timeout_s)
+
+    res = run_pipeline(spark, tr, dims, cfg=cfg, grok_strategy=args.grok,
+                       skew_safe=args.skew_safe, sessionizer=sessionizer)
+    counts = write_sinks(res, args.output)
+    if ckpt is not None:
+        save_state(res.enriched, ckpt)
+    sec = time.time() - t0
+    total = sum(v for k, v in counts.items()
+                if k in ("errors", "by_role"))
+    # end-of-run summary [webalizer.c prints N records in S seconds, R/sec]
+    print(f"{int(total)} records in {sec:.1f} seconds, "
+          f"{total / sec:.0f} records/sec")
+    for k, v in sorted(counts.items()):
+        print(f"  sink {k}: {int(v)} rows")
+    res.unpersist()
+
+
+if __name__ == "__main__":
+    main()

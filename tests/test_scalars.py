@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webalizer_spark.functions.scalars import (
+    agent_mangle,
+    get_domain,
+    search_terms,
+    share_pct,
+    url_decode,
+)
+
+
+def _one(spark, col, value):
+    df = spark.createDataFrame([(value,)], "v string")
+    return df.select(col.alias("r")).collect()[0]["r"]
+
+
+def test_url_decode(spark):
+    c = url_decode(F.col("v"))
+    assert _one(spark, c, "a%20b%2Fc") == "a b/c"
+    # malformed escapes fall back to the input [webalizer.c ƒunescape]
+    assert _one(spark, c, "bad%zz") == "bad%zz"
+
+
+def test_agent_mangle_levels(spark):
+    """MangleAgents ladder [webalizer.c]: family/maj.min (os) grammar."""
+    a = "claude/6.17 (linux) extra-detail"
+    expect = {
+        0: a,
+        1: "claude/6.17 (linux)",
+        2: "claude/6.17 (linux)",
+        3: "claude/6.17",
+        4: "claude/6",
+        5: "claude",
+    }
+    for level, want in expect.items():
+        got = _one(spark, agent_mangle(F.col("v"), level), a)
+        assert got == want, f"level {level}: {got!r} != {want!r}"
+
+
+def test_get_domain(spark):
+    c = get_domain(F.col("v"), 2)
+    assert _one(spark, c, "a.b.example.org") == "example.org"
+    assert _one(spark, get_domain(F.col("v"), 1), "a.b.org") == "org"
+
+
+def test_search_terms_extraction(spark):
+    """F4 [webalizer.c ƒsrch_string]: param extract + '+'->space +
+    %XX-decode + lowercase."""
+    c = search_terms(F.col("v"), "q")
+    assert _one(spark, c, "proto://eng-1.example/?q=Spark+Shuffle%21") == \
+        "spark shuffle!"
+    assert _one(spark, c, "proto://eng-1.example/?other=x") is None
+
+
+def test_share_pct(spark):
+    df = spark.createDataFrame([(25, 100)], "m int, t int")
+    got = df.select(share_pct(F.col("m"), F.col("t")).alias("p")).collect()[0]["p"]
+    assert got == 25.0

@@ -49,7 +49,9 @@ print("RESULT " + json.dumps({{"turns": turns, "times": times}}))
 
 
 def run_at(cpus: int, fixture: str, runs: int = 2) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_DRIVER_MEM=os.environ.get(
+                   "SPARK_GRAFT_DRIVER_MEM", "48g"))
     script = CHILD.format(repo=REPO, fixture=fixture, runs=runs)
     out = subprocess.run([sys.executable, "-c", script], env=env,
                          capture_output=True, text=True, timeout=1800)

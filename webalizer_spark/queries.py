@@ -928,3 +928,30 @@ def tr_errors_sink(spark, sf):
 def tr_search_terms(spark, sf):
     """Referrer search-term extraction + top table (J4/F4/A6)."""
     return _tr_pipeline(spark).reports["top_search"]
+
+
+@q("evt_daily_avg_max", """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day_ts, COUNT(*) AS hits,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT CAST(AVG(hits) AS DOUBLE) AS avg_hits,
+       CAST(MAX(hits) AS BIGINT) AS max_hits,
+       ROUND(AVG(total_value), 6) AS avg_value,
+       ROUND(MAX(total_value), 6) AS max_value
+FROM daily
+""")
+def evt_daily_avg_max(spark, sf):
+    """A14: per-day averages/maxima for the month-total table and graph
+    y-axis scaling [output.c month_total_table; graphs.c]."""
+    daily = _t(spark, sf, "events").groupBy(
+        F.date_trunc("day", "ts").alias("day_ts")).agg(
+        F.count(F.lit(1)).alias("hits"),
+        _dsum("value").alias("total_value"))
+    return daily.agg(
+        F.avg("hits").cast("double").alias("avg_hits"),
+        F.max("hits").cast("bigint").alias("max_hits"),
+        F.round(F.avg("total_value"), 6).alias("avg_value"),
+        F.round(F.max("total_value"), 6).alias("max_value"),
+    )
