@@ -1,0 +1,64 @@
+"""Physical-plan audits: assert the plans we designed are the plans Spark
+actually runs (SURVEY §4). These are executable versions of the
+`.explain("formatted")` checks — they fail if a future change silently
+degrades a plan (regex re-evaluation, broadcast falling back to shuffle,
+top-N becoming a global sort, filters not reaching the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webalizer_spark.operators.enrich import (
+    enrich_role_class,
+    enrich_size_class,
+)
+from webalizer_spark.operators.parse import parse_transcripts
+from webalizer_spark.operators.topn import top_n
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def test_parse_runs_regex_once(spark, transcripts):
+    """The grok regex must appear exactly once in the parse plan (plus the
+    sanitize regexp_replace) — the single-evaluation guarantee."""
+    parsed = parse_transcripts(transcripts)
+    # force all columns so pruning doesn't hide re-evaluation
+    full = parsed.select(*parsed.columns)
+    n = _plan(full).count("regexp_replace")
+    assert n <= 2, f"grok regex duplicated in plan ({n} occurrences)"
+
+
+def test_enrichment_joins_are_broadcast(spark, transcripts, dims):
+    parsed = parse_transcripts(transcripts)
+    j1 = enrich_role_class(parsed, dims["role_class"])
+    p1 = _plan(j1.select("actor_class"))
+    assert "BroadcastHashJoin" in p1, "role_class join must broadcast"
+    assert "SortMergeJoin" not in p1
+    j3 = enrich_size_class(parsed, dims["byte_ranges"])
+    p3 = _plan(j3.select("size_class"))
+    assert "BroadcastNestedLoopJoin" in p3, "range join must broadcast"
+
+
+def test_topn_is_take_ordered_not_global_sort(spark, dims):
+    agg = dims["tool_family"].groupBy("tool_family").count()
+    plan = _plan(top_n(agg, "count", "tool_family", 5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, fixture_dir):
+    df = spark.read.parquet(f"{fixture_dir}/transcripts.parquet")
+    q = df.filter(F.col("role") == "assistant").select("conv_id")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,assistant)]" in plan
+    # column pruning: the scan must not read the fat text column
+    assert "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_session_window_single_shuffle(spark, transcripts):
+    from webalizer_spark.operators.sessionize import sessionize
+    plan = _plan(sessionize(transcripts).select("session_seq"))
+    # one Exchange for the conv_id window; the running-sum window reuses it
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1
