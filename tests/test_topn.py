@@ -1,0 +1,30 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webalizer_spark.operators.topn import full_dump, top_n, with_rank, with_share
+
+
+def _df(spark):
+    rows = [("a", 10), ("b", 30), ("c", 30), ("d", 5)]
+    return spark.createDataFrame(rows, "k string, m long")
+
+
+def test_top_n_deterministic_ties(spark):
+    got = [r["k"] for r in top_n(_df(spark), "m", "k", 3).collect()]
+    assert got == ["b", "c", "a"]          # metric desc, key asc on ties
+
+
+def test_with_rank(spark):
+    got = {r["k"]: r["rank"] for r in with_rank(_df(spark), "m", "k", 4).collect()}
+    assert got == {"b": 1, "c": 2, "a": 3, "d": 4}
+
+
+def test_with_share(spark):
+    got = {r["k"]: r["pct"] for r in with_share(_df(spark), "m").collect()}
+    assert got["b"] == 40.0 and got["d"] == round(5 * 100 / 75, 4)
+
+
+def test_full_dump_sorted(spark):
+    got = [r["k"] for r in full_dump(_df(spark), "m", "k").collect()]
+    assert got == ["b", "c", "a", "d"]

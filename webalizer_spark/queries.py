@@ -894,10 +894,19 @@ def _fixture(spark):
     return tr, dims
 
 
+_TR_MEMO: dict[int, object] = {}
+
+
 def _tr_pipeline(spark):
+    """One pipeline run shared by every tr_* query in a session — the
+    driver calls each query separately; re-running the full pipeline per
+    report would defeat the one-scan design."""
     from webalizer_spark.plans.pipeline import run_pipeline
-    tr, dims = _fixture(spark)
-    return run_pipeline(spark, tr, dims)
+    key = id(spark)
+    if key not in _TR_MEMO:
+        tr, dims = _fixture(spark)
+        _TR_MEMO[key] = run_pipeline(spark, tr, dims)
+    return _TR_MEMO[key]
 
 
 @q("tr_top_tools")
