@@ -91,3 +91,26 @@ def test_ann_recall_vs_brute_force(spark):
     # much higher for true neighbors; union recall should be solid
     assert total > 0
     assert hit / total > 0.5
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark):
+    from webalizer_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    exact = sorted(map(tuple, brute_force_topk(emb, queries, k=5).collect()))
+    ivf_all = sorted(map(tuple, ivf_topk(emb, queries, k=5, n_cells=8,
+                                         n_probe=8).collect()))
+    assert ivf_all == exact          # probing every cell == exhaustive
+
+
+def test_ivf_partial_probe_recall(spark):
+    from webalizer_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter("vec_id < 20")
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3).collect()
+    es = {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(r["neighbor_id"] in es[r["query_id"]] for r in approx)
+    assert hit / len(approx) > 0.3   # random vectors; structure is the point

@@ -75,3 +75,24 @@ def test_entry_exit_counts(spark, transcripts, fixture_dir):
     ref_entries = ref_entries.sort_values("page").reset_index(drop=True)
     assert entries["page"].tolist() == ref_entries["page"].tolist()
     assert entries["entries"].tolist() == ref_entries["entries"].tolist()
+
+
+def test_month_boundary_does_not_reset_sessions(spark):
+    """SURVEY §7 hard-part 4: a conv spanning a month boundary keeps its
+    session when the gap < timeout. (The reference resets tables at month
+    rollover unless incremental state carries tstamp [webalizer.c
+    rollover block; preserve.c]; the engine's pinned rule is GLOBAL
+    sessionization — time-grain tables bucket rows by ts, sessions are
+    grain-independent. The mini-oracle computes the same rule.)"""
+    rows = [
+        ("M", 0, "2024-01-31 23:50:00"),
+        ("M", 1, "2024-02-01 00:05:00"),   # 15-min gap across months
+        ("M", 2, "2024-02-01 01:00:00"),   # 55-min gap -> new session
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, s string") \
+              .withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+    got = {r["turn_idx"]: (r["is_new_session"], r["session_seq"])
+           for r in sessionize(df).collect()}
+    assert got[0] == (True, 1)
+    assert got[1] == (False, 1)   # month rollover does NOT cut the visit
+    assert got[2] == (True, 2)

@@ -115,3 +115,64 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id",
                     F.round("cos", 6).alias("cos")))
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               n_probe: int = 1) -> DataFrame:
+    """Assign each vector to its n_probe nearest centroids by cosine.
+
+    centroids is tiny (n_cells rows) -> broadcast cross join + per-vector
+    top-n_probe window; the corpus never shuffles on the payload.
+    """
+    c = centroids.select(F.col("cell_id"), F.col("centroid"))
+    scored = (corpus.select(F.col(id_col), F.col(vec_col))
+              .crossJoin(F.broadcast(c))
+              .withColumn("csim", cosine(vec_col, "centroid")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("csim").desc(), F.col("cell_id").asc())
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n_probe)
+            .select(id_col, "cell_id"))
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic seed centroids: the n_cells lowest-id vectors.
+
+    Production IVF trains centroids (k-means over a sample); the engine
+    keeps centroid CHOICE pluggable and deterministic here so results are
+    reproducible — the index structure (assign -> invert -> probe) is the
+    part that matters at scale.
+    """
+    return (corpus.orderBy(F.col(id_col).asc()).limit(n_cells)
+            .select(F.monotonically_increasing_id().cast("int").alias("cell_id"),
+                    F.col(vec_col).alias("centroid")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: inverted-file search. Corpus vectors live in their
+    1 nearest cell; each query probes its n_probe nearest cells and ranks
+    exactly within the probed candidates. n_probe == n_cells degenerates
+    to exhaustive search (asserted equal to brute force in tests)."""
+    cents = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    corpus_cells = ivf_assign(corpus, cents, id_col, vec_col, 1) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    query_probes = ivf_assign(queries, cents, id_col, vec_col, n_probe) \
+        .withColumnRenamed(id_col, "query_id")
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv")).join(corpus_cells, "neighbor_id")
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv")).join(query_probes, "query_id")
+    pairs = (F.broadcast(qv).join(cv, "cell_id")
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .select("query_id", "neighbor_id", "qv", "cv").distinct()
+             .withColumn("cos", cosine("qv", "cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("cos", 6).alias("cos")))
