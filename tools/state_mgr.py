@@ -23,6 +23,18 @@ import sys
 import pyarrow.parquet as pq
 
 
+def _table_dir(base: str, name: str) -> str:
+    """Resolve through the manifest's version pointer (torn-write-safe
+    layout); falls back to a flat legacy layout."""
+    mpath = os.path.join(base, "manifest.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            v = json.load(f).get("version")
+        if v is not None:
+            return os.path.join(base, f"v={v}", name)
+    return os.path.join(base, name)
+
+
 def _read(d: str):
     files = glob.glob(os.path.join(d, "*.parquet"))
     if not files:
@@ -40,19 +52,19 @@ def info(base: str) -> None:
           f"(rows min={min(p['rows'] for p in m['partitions'])} "
           f"max={max(p['rows'] for p in m['partitions'])})")
     for t in ["conv_state", "daily_state", "day_conv_state"]:
-        tbl = _read(os.path.join(base, t))
+        tbl = _read(_table_dir(base, t))
         print(f"{t}: {tbl.num_rows} rows, {tbl.nbytes} bytes in memory")
 
 
 def convs(base: str, n: int = 10) -> None:
-    tbl = _read(os.path.join(base, "conv_state")).to_pandas()
+    tbl = _read(_table_dir(base, "conv_state")).to_pandas()
     top = tbl.sort_values(["sessions", "conv_id"],
                           ascending=[False, True]).head(n)
     print(top.to_string(index=False))
 
 
 def daily(base: str) -> None:
-    tbl = _read(os.path.join(base, "daily_state")).to_pandas()
+    tbl = _read(_table_dir(base, "daily_state")).to_pandas()
     print(tbl.sort_values("day_ts").to_string(index=False))
 
 
@@ -62,9 +74,9 @@ def verify(base: str) -> int:
     with open(os.path.join(base, "manifest.json")) as f:
         m = json.load(f)
     import pandas as pd
-    d = _read(os.path.join(base, "daily_state")).to_pandas()
-    c = _read(os.path.join(base, "conv_state")).to_pandas()
-    p = _read(os.path.join(base, "day_conv_state")).to_pandas()
+    d = _read(_table_dir(base, "daily_state")).to_pandas()
+    c = _read(_table_dir(base, "conv_state")).to_pandas()
+    p = _read(_table_dir(base, "day_conv_state")).to_pandas()
     ok = True
     if int(d["hits"].sum()) != m["total_rows"]:
         print(f"FAIL daily hits {d['hits'].sum()} != manifest {m['total_rows']}")

@@ -37,23 +37,43 @@ from webalizer_spark.operators.sessionize import sessionize
 
 @dataclass
 class CheckpointPaths:
+    """Versioned checkpoint layout for torn-write safety.
+
+    Each save_state writes its tables under a fresh ``v=<n>/`` subdir and
+    commits by atomically renaming a temp manifest over manifest.json
+    (the pointer). A crash mid-save leaves an orphan version dir but the
+    manifest still points at the last CONSISTENT snapshot — the same
+    write-then-rename discipline the reference uses for
+    webalizer.current (U) and Iceberg uses for table metadata.
+    """
+
     base: str
-
-    @property
-    def conv_state(self) -> str:
-        return os.path.join(self.base, "conv_state")
-
-    @property
-    def daily_state(self) -> str:
-        return os.path.join(self.base, "daily_state")
-
-    @property
-    def day_conv_state(self) -> str:
-        return os.path.join(self.base, "day_conv_state")
 
     @property
     def manifest(self) -> str:
         return os.path.join(self.base, "manifest.json")
+
+    def _version(self) -> int:
+        if os.path.exists(self.manifest):
+            with open(self.manifest) as f:
+                return json.load(f).get("version", 0)
+        return 0
+
+    def _vdir(self, name: str, version: int | None = None) -> str:
+        v = self._version() if version is None else version
+        return os.path.join(self.base, f"v={v}", name)
+
+    @property
+    def conv_state(self) -> str:
+        return self._vdir("conv_state")
+
+    @property
+    def daily_state(self) -> str:
+        return self._vdir("daily_state")
+
+    @property
+    def day_conv_state(self) -> str:
+        return self._vdir("day_conv_state")
 
 
 def _daily_metrics() -> list:
@@ -77,16 +97,27 @@ def save_state(sessions: DataFrame, ckpt: CheckpointPaths) -> dict:
     spark = sessions.sparkSession
     os.makedirs(ckpt.base, exist_ok=True)
 
+    if sessions.isEmpty():
+        # empty batch: nothing to snapshot — keep the existing state (the
+        # reference likewise leaves webalizer.current untouched when every
+        # record was skipped as already-processed)
+        return load_manifest(ckpt) if os.path.exists(ckpt.manifest) else {
+            "watermark": None, "total_rows": 0, "partitions": []}
+
+    new_version = ckpt._version() + 1
     conv_state = sessions.groupBy("conv_id").agg(
         F.max("ts").alias("last_ts"),
         F.max("session_seq").alias("sessions"),
     )
-    conv_state.write.mode("overwrite").parquet(ckpt.conv_state)
+    conv_state.write.mode("overwrite").parquet(
+        ckpt._vdir("conv_state", new_version))
 
-    _daily_delta(sessions).write.mode("overwrite").parquet(ckpt.daily_state)
+    _daily_delta(sessions).write.mode("overwrite").parquet(
+        ckpt._vdir("daily_state", new_version))
 
     (sessions.select(F.date_trunc("day", "ts").alias("day_ts"), "conv_id")
-     .distinct().write.mode("overwrite").parquet(ckpt.day_conv_state))
+     .distinct().write.mode("overwrite").parquet(
+         ckpt._vdir("day_conv_state", new_version)))
 
     # lineage/metrics: rows + byte volume per INPUT partition, and the
     # resume watermark [preserve.c stores the last timestamp]
@@ -98,14 +129,18 @@ def save_state(sessions: DataFrame, ckpt: CheckpointPaths) -> dict:
     totals = sessions.agg(
         F.max("ts").alias("wm"), F.count(F.lit(1)).alias("rows")).collect()[0]
     manifest = {
+        "version": new_version,
         "watermark": totals["wm"].isoformat(),
         "total_rows": totals["rows"],
         "partitions": [
             {"partition_id": r["partition_id"], "rows": r["rows"],
              "bytes": int(r["bytes"] or 0)} for r in per_part],
     }
-    with open(ckpt.manifest, "w") as f:
+    # commit: temp write + atomic rename of the version pointer
+    tmp = ckpt.manifest + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+    os.replace(tmp, ckpt.manifest)
     return manifest
 
 

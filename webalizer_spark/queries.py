@@ -964,3 +964,26 @@ def evt_daily_avg_max(spark, sf):
         F.round(F.avg("total_value"), 6).alias("avg_value"),
         F.round(F.max("total_value"), 6).alias("max_value"),
     )
+
+
+@q("doc_token_bpe", r"""
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       COUNT(*) AS docs
+FROM documents GROUP BY source
+""")
+def doc_token_bpe(spark, sf):
+    """Token counting, BPE-ish regex tokenizer (word/number/symbol
+    classes) alongside the whitespace tokenizer — the pretraining
+    token-budget estimator."""
+    d = _t(spark, sf, "documents")
+    bpe = F.size(F.regexp_extract_all(
+        "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)))
+    ws = F.size(F.split("text", " "))
+    return d.groupBy("source").agg(
+        F.sum(bpe).alias("bpe_tokens"),
+        F.sum(ws).alias("ws_tokens"),
+        F.count(F.lit(1)).alias("docs"),
+    )
