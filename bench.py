@@ -43,7 +43,10 @@ HEADLINE = [
 def bench_fixture() -> str:
     from webalizer_spark.datagen import GenParams, ensure_fixture
 
-    n_convs = int(os.environ.get("BENCH_CONVS", "40000"))
+    # 200k convs ~ 10M turns: big enough that per-core work dominates the
+    # ~10 s fixed cost (see BENCH.md scaling curve); generated once and
+    # cached under _bench_data/
+    n_convs = int(os.environ.get("BENCH_CONVS", "200000"))
     # a couple of properly hot convs exercise the skew machinery
     params = GenParams(n_convs=n_convs, hot_convs=2, hot_mult=500)
     return ensure_fixture(BENCH_BASE, params, tag=f"bench_{n_convs}")
