@@ -111,3 +111,24 @@ def test_skew_safe_pipeline_equivalence(spark, transcripts, dims, result):
             pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-12)
     finally:
         res2.unpersist()
+
+
+def test_auto_skew_selection_and_metrics(spark, transcripts, dims, tmp_path):
+    """skew_safe='auto' routes via cfg.hot_conv_threshold; write_sinks
+    emits the per-partition lineage metrics manifest."""
+    import json
+    from webalizer_spark.config import EngineConfig
+    from webalizer_spark.plans.pipeline import write_sinks
+
+    cfg = EngineConfig(hot_conv_threshold=100)   # fixture has >100-turn convs
+    res = run_pipeline(spark, transcripts, dims, cfg=cfg, skew_safe="auto")
+    try:
+        out = str(tmp_path / "sinks")
+        counts = write_sinks(res, out)
+        m = json.load(open(f"{out}/_metrics.json"))
+        assert m["sinks"] == {k: int(v) for k, v in counts.items()}
+        assert sum(p["rows"] for p in m["spine_partitions"]) == \
+            int(counts["by_role"])
+        assert all("bytes" in p for p in m["spine_partitions"])
+    finally:
+        res.unpersist()

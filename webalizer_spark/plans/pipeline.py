@@ -103,8 +103,16 @@ def run_pipeline(
     # variant (plans/checkpoint.resume_sessionize) so numbering continues
     # the saved state
     if sessionizer is None:
+        use_skew = skew_safe
+        if skew_safe == "auto":
+            # one cheap agg over the cached parse decides the path: a
+            # window partition cannot be AQE-split, so convs past the
+            # threshold force the range-partitioned path (SURVEY §4 O9)
+            hottest = (ok.groupBy("conv_id").count()
+                       .agg(F.max("count")).collect()[0][0]) or 0
+            use_skew = hottest >= cfg.hot_conv_threshold
         sessionizer = lambda df: (  # noqa: E731
-            sessionize_skew_safe if skew_safe else sessionize)(
+            sessionize_skew_safe if use_skew else sessionize)(
             df, cfg.visit_timeout_s)
     sess = sessionizer(enriched)
 
@@ -193,4 +201,26 @@ def write_sinks(result: PipelineResult, out_base: str) -> dict[str, int]:
         futures = [pool.submit(w, df, name, pb) for df, name, pb in jobs]
         for f in futures:
             f.result()
+
+    # per-partition lineage metrics alongside the sinks (north_rule:
+    # "lineage and metrics emitted per partition") — spine rows/bytes per
+    # partition plus every per-sink routed-row count, one JSON manifest
+    import json
+
+    per_part = (result.enriched
+                .groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count(F.lit(1)).alias("rows"),
+                     F.sum("nbytes").alias("bytes"))
+                .collect())
+    metrics = {
+        "sinks": {k: int(v) for k, v in counts.items()},
+        "spine_partitions": [
+            {"partition_id": r["partition_id"], "rows": r["rows"],
+             "bytes": int(r["bytes"] or 0)} for r in per_part],
+    }
+    os.makedirs(out_base, exist_ok=True)
+    tmp = os.path.join(out_base, "_metrics.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=1)
+    os.replace(tmp, os.path.join(out_base, "_metrics.json"))
     return counts
