@@ -76,10 +76,11 @@ def session_id_col(key: str = "conv_id") -> F.Column:
 # skew-safe path
 # ---------------------------------------------------------------------------
 
-_SUMMARY_SCHEMA = (
-    "pid int, first_key string, first_ts long, last_key string, last_ts long,"
-    " first_key_sessions long, last_key_sessions long, first_key_rows long"
-)
+def _summary_schema(key_type: str) -> str:
+    return (f"pid int, first_key {key_type}, first_ts long,"
+            f" last_key {key_type}, last_ts long,"
+            " first_key_sessions long, last_key_sessions long,"
+            " first_key_rows long")
 
 
 def _local_pass(ts_name: str, key_name: str, tiebreak: str, timeout_s: int,
@@ -226,9 +227,10 @@ def sessionize_skew_safe(df: DataFrame, timeout_s: int = 1800,
           .persist()
     )
     try:
+        key_type = df.schema[key].dataType.simpleString()
         summaries = [r.asDict() for r in ranged.mapInPandas(
             _summaries_fn(ts_col, key, tiebreak, timeout_s),
-            schema=_SUMMARY_SCHEMA).collect()]
+            schema=_summary_schema(key_type)).collect()]
         corrections = _compute_corrections(summaries, timeout_s)
         corr_json = json.dumps({str(p): [k, o, m]
                                 for p, (k, o, m) in corrections.items()})

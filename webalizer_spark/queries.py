@@ -987,3 +987,77 @@ def doc_token_bpe(spark, sf):
         F.sum(ws).alias("ws_tokens"),
         F.count(F.lit(1)).alias("docs"),
     )
+
+
+@q("evt_sessions_skew_safe", _SESSION_CTE + """
+SELECT user_id, CAST(SUM(isnew) AS BIGINT) AS sessions, COUNT(*) AS hits
+FROM s GROUP BY user_id
+""")
+def evt_sessions_skew_safe(spark, sf):
+    """W1 via the skew-safe range-partitioned path — same oracle SQL as
+    evt_sessions_per_user proves the two physical strategies agree
+    against an independent engine, not just each other."""
+    from webalizer_spark.operators.sessionize import sessionize_skew_safe
+    ev = _t(spark, sf, "events")
+    sess = sessionize_skew_safe(ev, 1800, key="user_id", ts_col="ts",
+                                tiebreak="event_id", num_partitions=13)
+    return sess.groupBy("user_id").agg(
+        F.count_if("is_new_session").alias("sessions"),
+        F.count(F.lit(1)).alias("hits"),
+    )
+
+
+@q("evt_grouped_rollup", """
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN event_type LIKE 'c%' THEN 'c-events'
+              WHEN event_type LIKE '%e' THEN 'e-suffix'
+              ELSE NULL END AS group_name,
+         value
+  FROM events
+)
+SELECT event_type, group_name, COUNT(*) AS hits,
+       CAST(GROUPING(event_type) AS INT) = 1 AS is_group
+FROM tagged
+GROUP BY GROUPING SETS ((event_type), (group_name))
+HAVING (GROUPING(event_type) = 1 AND group_name IS NOT NULL)
+    OR (GROUPING(event_type) = 0 AND event_type IS NOT NULL)
+""")
+def evt_grouped_rollup(spark, sf):
+    """A12 through the engine's own operators: wildcard group_name
+    (first-match c* prefix / *e suffix) + grouped_rollup GROUPING SETS —
+    groups aggregated IN ADDITION to individuals."""
+    from webalizer_spark.operators.aggregates import HITS, grouped_rollup
+    ev = _t(spark, sf, "events")
+    out = grouped_rollup(ev, "event_type",
+                         [("c*", "c-events"), ("*e", "e-suffix")],
+                         metrics=[HITS()])
+    return out.select("event_type", "group_name", "hits", "is_group")
+
+
+@q("evt_wildcard_filter", """
+SELECT event_type, COUNT(*) AS hits
+FROM events
+WHERE NOT (event_type LIKE 'c%' OR event_type LIKE '%r')
+   OR event_type LIKE '%w'
+GROUP BY event_type
+""")
+def evt_wildcard_filter(spark, sf):
+    """P2/P3 through the engine's wildcard grammar: Ignore c* and *r,
+    Include *w back (view stays; click/error dropped)."""
+    from webalizer_spark.operators.filters import ignore_include
+    ev = _t(spark, sf, "events")
+    out = ignore_include(ev, "event_type", ignore=["c*", "*r"], include=["*w"])
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("hits"))
+
+
+@q("evt_approx_distinct")
+def evt_approx_distinct(spark, sf):
+    """A8 scale tier: approx_count_distinct (HLL++) per day — rows-only
+    (the sketch is engine-specific); tolerance vs exact is asserted in
+    tests/test_queries_extra.py."""
+    return _t(spark, sf, "events").groupBy(
+        F.date_trunc("day", "ts").alias("day_ts")).agg(
+        F.approx_count_distinct("user_id").alias("approx_sites"),
+        F.count(F.lit(1)).alias("hits"),
+    )
