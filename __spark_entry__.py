@@ -20,11 +20,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full pipeline over the deterministic transcript fixture,
-    returning the top-tools report (stable schema, >0 rows)."""
-    from webalizer_spark.queries import QUERIES
+    """Flagship query on /root/testdata/sf0.001: the engine's core chain —
+    30-min gap-and-island sessionization over (user_id, ts, event_id),
+    per-session entry pages via min_by, deterministic top-N — on the
+    driver's events table. (The full transcript pipeline runs as the
+    tr_* queries and in tests/bench.)"""
+    from pyspark.sql import functions as F
 
-    return QUERIES["tr_top_tools"](spark, "/root/testdata/sf0.001")
+    from webalizer_spark.operators.sessionize import sessionize
+    from webalizer_spark.operators.topn import top_n
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sess = sessionize(ev, 1800, key="user_id", ts_col="ts",
+                      tiebreak="event_id")
+    per = (sess.groupBy("user_id", "session_seq")
+           .agg(F.min_by("event_type", F.struct("ts", "event_id"))
+                .alias("entry_page"),
+                F.count(F.lit(1)).alias("hits"),
+                F.sum("value").alias("total_value")))
+    report = per.groupBy("entry_page").agg(
+        F.count(F.lit(1)).alias("sessions"),
+        F.sum("hits").alias("hits"),
+        F.round(F.sum("total_value"), 3).alias("total_value"))
+    return top_n(report, "sessions", "entry_page", 30)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
