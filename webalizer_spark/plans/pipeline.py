@@ -16,10 +16,11 @@ Recasts the reference's single record loop [webalizer.c ƒmain: our_gzgets
 
 The explicit persist is the design, not an afterthought: Spark will not
 fuse separate actions into one scan by itself, and the reference's whole
-architecture is "one pass feeds all tables" [webalizer.c main loop]. At
-100 TB use MEMORY_AND_DISK on the parsed+enriched+sessionized projection
-(much narrower than raw text once `text` is dropped from the cached set
-— we keep it only for the errors sink, which is routed BEFORE caching).
+architecture is "one pass feeds all tables" [webalizer.c main loop]. The
+fat raw `text` column is never cached — the errors sink rebuilds it by
+broadcasting the (tiny) bad-key set against a second raw scan, so both
+cached spines stay narrow (typed fields only); measured a net win at 10M
+rows locally and a large cache-byte saving at scale.
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ from webalizer_spark.operators import aggregates as A
 from webalizer_spark.operators import topn as T
 from webalizer_spark.operators.enrich import enrich_all
 from webalizer_spark.operators.filters import hide, ignore_include
-from webalizer_spark.operators.parse import parse_transcripts, split_ok_bad
+from webalizer_spark.operators.parse import parse_transcripts
 from webalizer_spark.operators.sessionize import (
     entry_counts,
     entry_exit,
@@ -80,13 +81,23 @@ def run_pipeline(
     # -- PARSE ------------------------------------------------------------
     # The persist here is load-bearing, twice over: (1) it is the
     # reference's one-scan-feeds-everything architecture (O2) — errors
-    # sink, ok path, and every report read the SAME parsed rows; (2) it is
+    # keys, ok path, and every report read the SAME parsed rows; (2) it is
     # an optimizer barrier: any filter referencing derived columns (e.g.
     # parse_ok) would otherwise be predicate-pushdown-substituted through
     # the parse projection, re-inlining the grok regex once per conjunct
     # (measured 6x full-parse blowup on the 2M-turn bench).
-    parsed = parse_transcripts(transcripts, grok_strategy, cfg).persist(persist_level)
-    ok, errors = split_ok_bad(parsed)
+    #
+    # The fat raw `text` column is NOT cached: at scale it dominates cache
+    # bytes, and only the errors sink (~corrupt fraction of rows) needs
+    # it. Errors are rebuilt by broadcasting the tiny bad-key set against
+    # a second raw scan — measured net win already at 10M rows locally
+    # ((conv_id, turn_idx) is the table's unique key per input_hint).
+    parsed = (parse_transcripts(transcripts, grok_strategy, cfg)
+              .drop("text").persist(persist_level))
+    ok = parsed.filter(F.col("parse_ok"))
+    err_keys = parsed.filter(~F.col("parse_ok")).select("conv_id", "turn_idx")
+    errors = transcripts.join(F.broadcast(err_keys),
+                              ["conv_id", "turn_idx"], "inner")
 
     # Ignore/Include filters run pre-aggregation [webalizer.c loop order]
     ok = ignore_include(ok, "conv_id", cfg.lists.ignore_site, cfg.lists.include_site)
@@ -116,8 +127,7 @@ def run_pipeline(
             df, cfg.visit_timeout_s)
     sess = sessionizer(enriched)
 
-    # drop the fat raw line from the cached spine (errors keep theirs)
-    spine = sess.drop("text").persist(persist_level)
+    spine = sess.persist(persist_level)
 
     # -- ROUTE (fan-out sinks, all narrow reads of the spine) -------------
     tool_calls = spine.filter(F.col("tool").isNotNull())
