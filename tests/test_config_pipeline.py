@@ -62,3 +62,77 @@ def test_agent_mangle_applied(cfg_result):
     # level 3 = family/maj.min — no ' (os)' suffix survives
     assert not agents.str.contains(r"\(").any()
     assert agents.str.match(r"^\S+/\d+\.\d+$").all()
+
+
+@pytest.fixture(scope="module")
+def cfg_result2(spark, transcripts, dims):
+    """Second config exercising the remaining list families (wired in
+    round 2): ignore_user/ignore_referrer pre-agg, hide_site on top_sites,
+    group_site/group_agent/group_user rollups, hide-before-topN slots."""
+    cfg = EngineConfig(
+        topn=__import__("webalizer_spark.config", fromlist=["TopN"]).TopN(urls=3),
+        lists=WildcardLists(
+            ignore_user=["u1*"],
+            ignore_referrer=["*eng-3*"],
+            hide_site=["conv-0000000*"],
+            hide_url=["search"],
+            group_site=(("conv-0000*", "early-convs"),),
+            group_agent=(("claude*", "claude-family"),),
+            group_user=(("u2*", "u2-users"),),
+        ),
+    )
+    res = run_pipeline(spark, transcripts, dims, cfg=cfg)
+    yield res, cfg
+    res.unpersist()
+
+
+def test_ignore_user_and_referrer_drop_records(cfg_result2):
+    res, _ = cfg_result2
+    assert res.enriched.filter(F.col("ident").startswith("u1")).count() == 0
+    assert res.enriched.filter(
+        F.col("referrer").contains("eng-3")).count() == 0
+    # untouched rows survive
+    assert res.enriched.count() > 0
+
+
+def test_hide_site_suppresses_display_only(cfg_result2):
+    res, _ = cfg_result2
+    top = res.reports["top_sites"].toPandas()
+    assert not top["conv_id"].str.startswith("conv-0000000").any()
+    assert res.enriched.filter(
+        F.col("conv_id").startswith("conv-0000000")).count() > 0
+
+
+def test_hide_applied_before_topn_fills_slots(cfg_result2, transcripts, dims):
+    """Hidden entries must not consume top-N slots: with TopN(urls=3) and
+    'search' hidden, the table still has 3 rows — the next-ranked visible
+    tool moves up instead of being cut (OBJ_HIDE fill semantics)."""
+    res, _ = cfg_result2
+    top = res.reports["top_tools"].toPandas()
+    assert "search" not in top["tool"].tolist()
+    assert len(top) == 3
+    # the 3 rows are the top-3 VISIBLE tools by hits
+    per_url = (res.enriched.filter(F.col("tool").isNotNull())
+               .groupBy("tool").count().toPandas())
+    visible = per_url[per_url["tool"] != "search"] \
+        .sort_values(["count", "tool"], ascending=[False, True])
+    assert top["tool"].tolist() == visible["tool"].head(3).tolist()
+
+
+def test_group_site_agent_user_rollups(cfg_result2):
+    res, _ = cfg_result2
+    gs = res.reports["grouped_sites"].toPandas()
+    assert "early-convs" in gs.loc[gs["is_group"], "group_name"].tolist()
+    early = int(gs.loc[gs["group_name"] == "early-convs", "hits"].iloc[0])
+    singles = gs[~gs["is_group"]]
+    member_hits = int(singles.loc[
+        singles["conv_id"].str.startswith("conv-0000"), "hits"].sum())
+    assert early == member_hits
+
+    ga = res.reports["grouped_agents"].toPandas()
+    assert (ga.loc[ga["is_group"], "group_name"] == "claude-family").any()
+
+    gu = res.reports["grouped_users"].toPandas()
+    grp = gu.loc[gu["is_group"], "group_name"].tolist()
+    # u1* users were IGNORED pre-agg; u2* group still forms
+    assert grp == ["u2-users"] or "u2-users" in grp

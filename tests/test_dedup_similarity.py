@@ -114,3 +114,86 @@ def test_ivf_partial_probe_recall(spark):
         es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     hit = sum(r["neighbor_id"] in es[r["query_id"]] for r in approx)
     assert hit / len(approx) > 0.3   # random vectors; structure is the point
+
+
+def test_shingles_short_doc_yields_no_shingles(spark):
+    """Regression (round-1 advice): docs shorter than n tokens must yield
+    zero shingles, not a runtime slice error."""
+    from webalizer_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, "x")], "doc_id long, text string")
+    out = shingles(df, n=3).toPandas()
+    assert set(out.loc[out["doc_id"] == 1, "shingle"]) == \
+        {"a b c", "b c d", "c d e"}
+    assert (out["doc_id"] != 2).all() and (out["doc_id"] != 3).all()
+
+
+def test_connected_components_chain_keeps_min_id(spark):
+    """A~B~C chains dedup transitively: exactly the min id survives."""
+    from webalizer_spark.operators.dedup import (
+        connected_min_label,
+        near_dup_remove,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long")
+    labels = {r["v"]: r["label"]
+              for r in connected_min_label(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    base = "tok%02d " * 30
+    words = (base % tuple(range(30))).split()
+    mk = lambda i, j: " ".join(  # noqa: E731
+        w if k not in (i, j) else f"chg{k}_{i}" for k, w in enumerate(words))
+    docs = spark.createDataFrame(
+        [(1, mk(-1, -1)), (2, mk(0, -1)), (3, mk(0, 1)),
+         (50, "completely different text with other tokens entirely here")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"]
+                  for r in near_dup_remove(docs, threshold=0.8).collect())
+    assert kept == [1, 50]
+
+
+def test_all_pairs_guards_trip(spark, monkeypatch):
+    """Quadratic baselines refuse oversized inputs, pointing at LSH."""
+    import webalizer_spark.operators.dedup as D
+    import webalizer_spark.operators.similarity as S
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(5)],
+        "doc_id long, text string")
+    sh = D.shingles(docs)
+    monkeypatch.setattr(D, "ALL_PAIRS_MAX_DOCS", 3)
+    with pytest.raises(ValueError, match="LSH"):
+        D.jaccard_pairs(sh)
+    # candidate-restricted path is exempt from the guard
+    cand = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    D.jaccard_pairs(sh, candidates=cand).collect()
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>")
+    monkeypatch.setattr(S, "ALL_PAIRS_MAX_VECS", 3)
+    with pytest.raises(ValueError, match="lsh_signatures"):
+        S.near_dup_cosine(emb)
+
+
+def test_jaccard_candidates_first_matches_all_pairs(spark):
+    """The candidates-first join (no post-hoc semi-join) returns the same
+    pairs/values as the all-pairs baseline restricted to candidates."""
+    from webalizer_spark.operators.dedup import jaccard_pairs, shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "a x y z"), (4, "a b c d")],
+        "doc_id long, text string")
+    sh = shingles(docs)
+    allp = jaccard_pairs(sh, threshold=0.1)
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 4), (2, 3)], "doc_a long, doc_b long")
+    got = sorted(map(tuple, jaccard_pairs(
+        sh, threshold=0.1, candidates=cand).collect()))
+    ref = sorted(map(tuple,
+                     allp.join(cand, ["doc_a", "doc_b"], "left_semi")
+                     .collect()))
+    assert got == ref and len(got) == 3

@@ -62,3 +62,42 @@ def test_session_window_single_shuffle(spark, transcripts):
     plan = _plan(sessionize(transcripts).select("session_seq"))
     # one Exchange for the conv_id window; the running-sum window reuses it
     assert plan.count("Exchange hashpartitioning(conv_id") == 1
+
+
+def test_errors_sink_join_adaptive(spark, transcripts, dims):
+    """The errors-sink raw-rescan join carries NO broadcast hint — the
+    bad-key set scales with (corrupt fraction x input), so the join must
+    be AQE-sized: tiny bad sets broadcast at runtime; sets past the
+    broadcast threshold fall back to a shuffle join instead of OOMing
+    the driver. Routed-row equality holds on both paths."""
+    from webalizer_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(spark, transcripts, dims)
+    n_bcast = res.errors.count()
+    p1 = _plan(res.errors)
+    assert "BroadcastHashJoin" in p1, \
+        "tiny bad-key set should be broadcast by AQE"
+    res.unpersist()
+
+    # simulate a bad-key set too large to broadcast: disable the
+    # runtime broadcast thresholds; the plan MUST degrade to a shuffle
+    # join, never a forced broadcast
+    confs = ["spark.sql.autoBroadcastJoinThreshold",
+             "spark.sql.adaptive.autoBroadcastJoinThreshold"]
+    saved = {c: spark.conf.get(c, None) for c in confs}
+    for c in confs:
+        spark.conf.set(c, "-1")
+    try:
+        res2 = run_pipeline(spark, transcripts, dims)
+        n_shuffle = res2.errors.count()
+        p2 = _plan(res2.errors)
+        assert "BroadcastHashJoin" not in p2
+        assert ("SortMergeJoin" in p2) or ("ShuffledHashJoin" in p2)
+        res2.unpersist()
+    finally:
+        for c, v in saved.items():
+            if v is None or v == "":
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    assert n_bcast == n_shuffle

@@ -99,3 +99,102 @@ def test_manifest_lineage(spark, parsed_ok):
     assert m["total_rows"] == parsed_ok.count()
     assert sum(p["rows"] for p in m["partitions"]) == m["total_rows"]
     assert load_manifest(ckpt)["watermark"] == m["watermark"]
+
+
+def test_second_incremental_run_preserves_prior_state(spark, parsed_ok):
+    """Regression (round-1 advice, high): state is MERGED on save, not
+    batch-overwritten — a conv/day absent from a later batch keeps its
+    saved state, and the SECOND incremental run is still correct."""
+    ts_long = F.col("ts").cast("timestamp").cast("long")
+    qs = parsed_ok.select(F.percentile_approx(
+        ts_long, [1.0 / 3, 2.0 / 3]).alias("q")).collect()[0]["q"]
+    t1, t2 = qs
+    b1 = parsed_ok.filter(ts_long <= t1)
+    b2 = parsed_ok.filter((ts_long > t1) & (ts_long <= t2))
+    b3 = parsed_ok.filter(ts_long > t2)
+
+    shutil.rmtree(CKPT, ignore_errors=True)
+    ckpt = CheckpointPaths(CKPT)
+    s1 = sessionize(b1)
+    save_state(s1, ckpt)
+    s2 = resume_sessionize(b2, ckpt)
+    save_state(s2, ckpt)
+    s3 = resume_sessionize(b3, ckpt)
+    m = save_state(s3, ckpt)
+
+    # manifest accumulates across runs (not last-batch-only)
+    assert m["total_rows"] == parsed_ok.count()
+
+    # per-row equality of the three stitched batches vs one full run
+    full = sessionize(parsed_ok)
+    cols = ["conv_id", "turn_idx", "is_new_session", "session_seq"]
+    got = (s1.select(*cols).unionByName(s2.select(*cols))
+           .unionByName(s3.select(*cols)).toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    ref = (full.select(*cols).toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert got.equals(ref)
+
+    # conv_state covers EVERY conv (incl. ones only present in batch 1)
+    state = spark.read.parquet(ckpt.conv_state)
+    ref_state = full.groupBy("conv_id").agg(
+        F.max("ts").alias("last_ts"), F.max("session_seq").alias("sessions"))
+    sp = state.toPandas().sort_values("conv_id").reset_index(drop=True)
+    rp = ref_state.toPandas().sort_values("conv_id").reset_index(drop=True)
+    assert sp["conv_id"].tolist() == rp["conv_id"].tolist()
+    assert sp["sessions"].tolist() == rp["sessions"].tolist()
+    assert sp["last_ts"].tolist() == rp["last_ts"].tolist()
+
+    # daily_state is the cumulative merge across all three saves
+    daily = spark.read.parquet(ckpt.daily_state).toPandas() \
+        .sort_values("day_ts").reset_index(drop=True)
+    ref_daily = (full.groupBy(F.date_trunc("day", "ts").alias("day_ts")).agg(
+        F.count(F.lit(1)).alias("hits"),
+        F.count_if(F.col("status") == 200).alias("files"),
+        F.count_if(F.col("tool").isNotNull()).alias("pages"),
+        F.count_if(F.col("status") >= 400).alias("errors"),
+        F.sum("nbytes").alias("bytes"),
+        F.count_if(F.col("is_new_session")).alias("visits"))
+        .toPandas().sort_values("day_ts").reset_index(drop=True))
+    assert daily["day_ts"].tolist() == ref_daily["day_ts"].tolist()
+    for c in ["hits", "files", "pages", "errors", "bytes", "visits"]:
+        assert daily[c].astype("int64").tolist() == \
+            ref_daily[c].astype("int64").tolist(), c
+
+
+def test_resume_sessionize_skew_safe_matches_window(spark, parsed_ok, halves):
+    """Resume composes with the range-partitioned skew path: identical
+    per-row output to the window path."""
+    from webalizer_spark.operators.sessionize import release_skew_caches
+
+    first, second = halves
+    shutil.rmtree(CKPT, ignore_errors=True)
+    ckpt = CheckpointPaths(CKPT)
+    save_state(sessionize(first), ckpt)
+
+    cols = ["conv_id", "turn_idx", "is_new_session", "session_seq"]
+    new = resume_filter(parsed_ok, ckpt)
+    a = (resume_sessionize(new, ckpt).select(*cols).toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    b = (resume_sessionize(new, ckpt, skew_safe=True).select(*cols).toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    release_skew_caches()
+    assert a.equals(b)
+
+
+def test_skew_cache_released(spark, parsed_ok):
+    """sessionize_skew_safe registers its ranged cache; release drops it."""
+    from webalizer_spark.operators.sessionize import (
+        _SKEW_CACHES,
+        release_skew_caches,
+        sessionize_skew_safe,
+    )
+
+    out = sessionize_skew_safe(parsed_ok)
+    out.count()
+    assert len(_SKEW_CACHES) >= 1
+    cached = _SKEW_CACHES[-1]
+    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    release_skew_caches()
+    assert not _SKEW_CACHES
+    assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)

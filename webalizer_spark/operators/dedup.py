@@ -43,8 +43,13 @@ def shingles(df: DataFrame, content_col: str = "text", n: int = 1,
     if n == 1:
         sh = toks
     else:
-        # sliding window over the token array, JVM-side
-        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        # sliding window over the token array, JVM-side. Docs shorter
+        # than n tokens yield NO shingles (guarded: an unguarded
+        # sequence(0, size-n) turns DESCENDING when size < n and the
+        # resulting slice(toks, 0, n) throws at runtime).
+        idx = F.when(F.size(toks) >= n,
+                     F.sequence(F.lit(0), F.size(toks) - n)
+                     ).otherwise(F.array().cast("array<int>"))
         sh = F.transform(idx, lambda i: F.array_join(
             F.slice(toks, i + 1, n), " "))
     return df.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
@@ -79,21 +84,49 @@ def lsh_candidate_pairs(sig: DataFrame, rows_per_band: int = 2,
             .distinct())
 
 
+# Standalone all-pairs baselines refuse inputs past this many documents:
+# past it the quadratic shape is a plan bug, not a slow query — use the
+# LSH candidate path instead.
+ALL_PAIRS_MAX_DOCS = 100_000
+
+
+def _guard_all_pairs(df: DataFrame, id_col: str, op: str) -> None:
+    n = df.select(id_col).distinct().count()
+    if n > ALL_PAIRS_MAX_DOCS:
+        raise ValueError(
+            f"{op}: {n} docs exceeds the all-pairs baseline bound "
+            f"({ALL_PAIRS_MAX_DOCS}); use the LSH candidate path "
+            "(lsh_candidate_pairs -> jaccard_pairs(candidates=...))")
+
+
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
                   id_col: str = "doc_id",
                   candidates: DataFrame | None = None) -> DataFrame:
-    """Exact token-set Jaccard. With `candidates` (from LSH) the join is
-    restricted to candidate pairs — the verify step of MinHash-LSH dedup;
-    without, it is the exact all-pairs baseline (small inputs only)."""
+    """Exact token-set Jaccard. With `candidates` (from LSH) intersection
+    counting runs ONLY over candidate pairs — the shingle fan-out goes
+    through the candidate edge list BEFORE any pair aggregation, so the
+    hot-token quadratic blowup never materializes. Without candidates it
+    is the exact all-pairs baseline (size-guarded; small inputs only)."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
-                      F.col(f"b.{id_col}").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("i")))
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # fan a's shingles out to candidate partners first (equi-join on
+        # doc_a), then count matches with one equi-join on (doc_b, shingle)
+        fan = (sh.withColumnRenamed(id_col, "doc_a")
+               .withColumnRenamed("shingle", "_sh")
+               .join(candidates, "doc_a"))
+        b = (sh.withColumnRenamed(id_col, "doc_b")
+             .withColumnRenamed("shingle", "_sh"))
+        inter = (fan.join(b, ["doc_b", "_sh"])
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("i")))
+    else:
+        _guard_all_pairs(sh, id_col, "jaccard_pairs")
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                 .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                          F.col(f"b.{id_col}").alias("doc_b"))
+                 .agg(F.count(F.lit(1)).alias("i")))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"))
     jac = F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i"))
@@ -116,17 +149,54 @@ def simhash(sh: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFrame:
         F.sum(bit).cast("bigint").alias("simhash"))
 
 
+def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components over (doc_a, doc_b) edges via iterative
+    min-label propagation: each round is one join + one groupBy; rounds
+    needed = component diameter (dup chains are shallow). Returns
+    (v, label) where label = min doc id of v's component. Deterministic.
+
+    localCheckpoint each round truncates lineage so the plan does not
+    grow exponentially; only the (tiny) dup-subgraph vertices iterate —
+    the corpus itself never enters the loop.
+    """
+    sym = (edges.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
+           .unionByName(
+               edges.select(F.col("doc_b").alias("v"),
+                            F.col("doc_a").alias("u"))))
+    labels = (sym.select("v").distinct()
+              .withColumn("label", F.col("v"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        neigh = (sym.join(labels.select(F.col("v").alias("u"),
+                                        F.col("label").alias("ulabel")), "u")
+                 .groupBy("v").agg(F.min("ulabel").alias("nlabel")))
+        new_labels = (labels.join(neigh, "v", "left")
+                      .select("v", F.least(
+                          "label", F.coalesce("nlabel", F.col("label"))
+                      ).alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(
+            labels.select("v", F.col("label").alias("old")), "v")
+            .filter(F.col("label") != F.col("old")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def near_dup_remove(df: DataFrame, content_col: str = "text",
                     id_col: str = "doc_id", threshold: float = 0.9,
                     num_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
     """End-to-end near-dup removal: MinHash -> LSH candidates -> exact
-    Jaccard verify -> drop the higher-id member of each surviving pair
-    (union-find-free greedy: keep the minimum id of each dup component
-    found via iterative min propagation is overkill at this tier; the
-    greedy pairwise drop is the documented approximation)."""
+    Jaccard verify -> connected components over the verified pairs ->
+    keep exactly the minimum-id member of each dup component. Transitive
+    chains (A~B~C where A~C was never a pair) dedup deterministically —
+    the greedy pairwise drop they replace could over/under-drop those."""
     sh = shingles(df, content_col, 1, id_col)
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes, id_col), rows_per_band, id_col)
     dup = jaccard_pairs(sh, threshold, id_col, candidates=cand)
-    drop = dup.select(F.col("doc_b").alias(id_col)).distinct()
+    comp = connected_min_label(dup.select("doc_a", "doc_b"))
+    drop = (comp.filter(F.col("label") != F.col("v"))
+            .select(F.col("v").alias(id_col)))
     return df.join(drop, id_col, "left_anti")

@@ -208,6 +208,21 @@ def _compute_corrections(summaries: list[dict], timeout_s: int) -> dict[int, tup
     return corrections
 
 
+# Persisted range-partitioned intermediates of in-flight skew-safe runs.
+# The ranged block must stay cached until the RESULT is materialized
+# (stage 3 re-reads it), so the operator cannot unpersist before
+# returning the lazy frame. Callers release via release_skew_caches()
+# (PipelineResult.unpersist does) — without it, repeated skew-path runs
+# in a long-lived driver would pin cached partitions forever.
+_SKEW_CACHES: list[DataFrame] = []
+
+
+def release_skew_caches() -> None:
+    """Unpersist every ranged intermediate registered by skew-safe runs."""
+    while _SKEW_CACHES:
+        _SKEW_CACHES.pop().unpersist()
+
+
 def sessionize_skew_safe(df: DataFrame, timeout_s: int = 1800,
                          key: str = "conv_id", ts_col: str = "ts",
                          tiebreak: str = "turn_idx",
@@ -261,8 +276,9 @@ def sessionize_skew_safe(df: DataFrame, timeout_s: int = 1800,
                 yield out[return_cols]
 
         result = ranged.mapInPandas(apply_fn, schema=out_schema)
-        # materialization note: caller should consume before unpersist;
-        # we return the lazy frame and let persist() live until GC/unpersist
+        # materialization note: caller must consume the result before the
+        # ranged cache is released — register it for release_skew_caches()
+        _SKEW_CACHES.append(ranged)
         return result
     except Exception:
         ranged.unpersist()

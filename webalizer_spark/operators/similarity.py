@@ -136,18 +136,73 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
             .select(id_col, "cell_id"))
 
 
-def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Deterministic seed centroids: the n_cells lowest-id vectors.
+# Standalone all-pairs baselines refuse inputs past this many vectors —
+# past it the O(n^2) cross join is a plan bug; use ann_topk / the LSH
+# bucket path instead.
+ALL_PAIRS_MAX_VECS = 100_000
 
-    Production IVF trains centroids (k-means over a sample); the engine
-    keeps centroid CHOICE pluggable and deterministic here so results are
-    reproducible — the index structure (assign -> invert -> probe) is the
-    part that matters at scale.
+
+def near_dup_cosine(emb: DataFrame, threshold: float = 0.95,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs — the EXACT all-pairs baseline of
+    semantic dedup (size-guarded). The scale path is the LSH twin:
+    lsh_signatures bucket join, then this cosine only on candidates."""
+    n = emb.select(id_col).distinct().count()
+    if n > ALL_PAIRS_MAX_VECS:
+        raise ValueError(
+            f"near_dup_cosine: {n} vectors exceeds the all-pairs baseline "
+            f"bound ({ALL_PAIRS_MAX_VECS}); use lsh_signatures/ann_topk "
+            "bucket candidates instead")
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    return (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("_c", cosine("ea", "eb"))
+            .filter(F.col("_c") >= threshold)
+            .select("vec_a", "vec_b", F.round("_c", 6).alias("cos")))
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  sample_size: int = 1024, iters: int = 10) -> DataFrame:
+    """Deterministic sampled spherical k-means centroids.
+
+    Production IVF shape [inverted-file ANN]: train on a bounded sample,
+    not the corpus. Here the sample is the sample_size vectors with the
+    LOWEST md5(id) — a seeded, engine-portable pseudo-random pick that is
+    one distributed TakeOrdered, never a full sort. Lloyd iterations run
+    on the driver over <= sample_size points (numpy, fixed init = first
+    n_cells of the hash order), so the result is bit-deterministic and
+    the cluster never iterates. cell_id is the centroid's position in
+    the init order (no monotonically_increasing_id / limit-coalesce
+    fragility).
     """
-    return (corpus.orderBy(F.col(id_col).asc()).limit(n_cells)
-            .select(F.monotonically_increasing_id().cast("int").alias("cell_id"),
-                    F.col(vec_col).alias("centroid")))
+    import numpy as np
+
+    rows = (corpus.select(id_col, vec_col)
+            .orderBy(F.md5(F.concat(F.lit("ivf|"),
+                                    F.col(id_col).cast("string"))).asc(),
+                     F.col(id_col).asc())
+            .limit(sample_size).collect())
+    pts = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(pts, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = pts / norms
+    k = min(n_cells, len(unit))
+    cents = unit[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(unit @ cents.T, axis=1)
+        for j in range(k):
+            members = unit[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cents[j] = m / nm
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(j, [float(x) for x in cents[j]]) for j in range(k)],
+        "cell_id int, centroid array<double>")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

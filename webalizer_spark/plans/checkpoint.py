@@ -32,7 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from webalizer_spark.operators.sessionize import sessionize
+from webalizer_spark.operators.sessionize import sessionize, sessionize_skew_safe
 
 
 @dataclass
@@ -93,45 +93,81 @@ def _daily_delta(sessions: DataFrame) -> DataFrame:
 
 
 def save_state(sessions: DataFrame, ckpt: CheckpointPaths) -> dict:
-    """Write resumable state from a sessionized spine; returns manifest."""
+    """Write resumable state from a sessionized spine; returns manifest.
+
+    When a prior version exists, the new snapshot is prior-state MERGED
+    with the batch delta (not a batch-only overwrite): a conv or day
+    absent from this batch keeps its saved state, so the SECOND and every
+    later incremental run stays correct [preserve.c restores the full
+    hash tables before tallying the new month]. Session counts merge by
+    max because resume_sessionize already numbers the batch's sessions
+    cumulatively (offset by the saved per-conv count).
+    """
     spark = sessions.sparkSession
     os.makedirs(ckpt.base, exist_ok=True)
+    has_prev = os.path.exists(ckpt.manifest)
 
-    if sessions.isEmpty():
-        # empty batch: nothing to snapshot — keep the existing state (the
-        # reference likewise leaves webalizer.current untouched when every
-        # record was skipped as already-processed)
-        return load_manifest(ckpt) if os.path.exists(ckpt.manifest) else {
-            "watermark": None, "total_rows": 0, "partitions": []}
-
-    new_version = ckpt._version() + 1
-    conv_state = sessions.groupBy("conv_id").agg(
-        F.max("ts").alias("last_ts"),
-        F.max("session_seq").alias("sessions"),
-    )
-    conv_state.write.mode("overwrite").parquet(
-        ckpt._vdir("conv_state", new_version))
-
-    _daily_delta(sessions).write.mode("overwrite").parquet(
-        ckpt._vdir("daily_state", new_version))
-
-    (sessions.select(F.date_trunc("day", "ts").alias("day_ts"), "conv_id")
-     .distinct().write.mode("overwrite").parquet(
-         ckpt._vdir("day_conv_state", new_version)))
-
-    # lineage/metrics: rows + byte volume per INPUT partition, and the
-    # resume watermark [preserve.c stores the last timestamp]
+    # lineage/metrics: rows + bytes per spine partition (the sessionized
+    # shuffle layout feeding the sinks), and the resume watermark
+    # [preserve.c stores the last timestamp]. The rows==0 fast path rides
+    # the same aggregate — no separate isEmpty() job over the spine.
     per_part = (sessions
                 .groupBy(F.spark_partition_id().alias("partition_id"))
                 .agg(F.count(F.lit(1)).alias("rows"),
-                     F.sum("nbytes").alias("bytes"))
+                     F.sum("nbytes").alias("bytes"),
+                     F.max("ts").alias("wm"))
                 .collect())
-    totals = sessions.agg(
-        F.max("ts").alias("wm"), F.count(F.lit(1)).alias("rows")).collect()[0]
+    batch_rows = sum(r["rows"] for r in per_part)
+    if batch_rows == 0:
+        # empty batch: nothing to snapshot — keep the existing state (the
+        # reference likewise leaves webalizer.current untouched when every
+        # record was skipped as already-processed)
+        return load_manifest(ckpt) if has_prev else {
+            "watermark": None, "total_rows": 0, "partitions": []}
+    batch_wm = max(r["wm"] for r in per_part if r["wm"] is not None)
+
+    new_version = ckpt._version() + 1
+    conv_delta = sessions.groupBy("conv_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.max("session_seq").alias("sessions"),
+    )
+    daily_delta = _daily_delta(sessions)
+    day_conv_delta = sessions.select(
+        F.date_trunc("day", "ts").alias("day_ts"), "conv_id").distinct()
+    prev_rows = 0
+    prev_wm = None
+    if has_prev:
+        prev = load_manifest(ckpt)
+        prev_rows = prev.get("total_rows", 0)
+        prev_wm = prev.get("watermark")
+        conv_delta = (spark.read.parquet(ckpt.conv_state)
+                      .unionByName(conv_delta)
+                      .groupBy("conv_id")
+                      .agg(F.max("last_ts").alias("last_ts"),
+                           F.max("sessions").alias("sessions")))
+        daily_delta = (spark.read.parquet(ckpt.daily_state)
+                       .unionByName(daily_delta)
+                       .groupBy("day_ts")
+                       .agg(*[F.sum(c).alias(c)
+                              for c in ["hits", "files", "pages", "errors",
+                                        "bytes", "visits"]]))
+        day_conv_delta = (spark.read.parquet(ckpt.day_conv_state)
+                          .unionByName(day_conv_delta).distinct())
+
+    conv_delta.write.mode("overwrite").parquet(
+        ckpt._vdir("conv_state", new_version))
+    daily_delta.write.mode("overwrite").parquet(
+        ckpt._vdir("daily_state", new_version))
+    day_conv_delta.write.mode("overwrite").parquet(
+        ckpt._vdir("day_conv_state", new_version))
+
+    wm = batch_wm.isoformat()
+    if prev_wm is not None:
+        wm = max(wm, prev_wm)
     manifest = {
         "version": new_version,
-        "watermark": totals["wm"].isoformat(),
-        "total_rows": totals["rows"],
+        "watermark": wm,
+        "total_rows": int(prev_rows) + int(batch_rows),
         "partitions": [
             {"partition_id": r["partition_id"], "rows": r["rows"],
              "bytes": int(r["bytes"] or 0)} for r in per_part],
@@ -160,7 +196,8 @@ def resume_filter(df: DataFrame, ckpt: CheckpointPaths) -> DataFrame:
 def resume_sessionize(new_df: DataFrame, ckpt: CheckpointPaths,
                       timeout_s: int = 1800,
                       key: str = "conv_id", ts_col: str = "ts",
-                      tiebreak: str = "turn_idx") -> DataFrame:
+                      tiebreak: str = "turn_idx",
+                      skew_safe: bool = False) -> DataFrame:
     """Sessionize a resumed batch so numbering continues the saved state.
 
     Local gap-and-island first, then one shuffle join against conv_state:
@@ -170,9 +207,14 @@ def resume_sessionize(new_df: DataFrame, ckpt: CheckpointPaths,
         (merge: offset-1, clear the provisional new flag) — exactly the
         reference's restored-tstamp behavior [hashtab.c ƒput_hnode with
         restored node].
+
+    skew_safe routes the local pass through the range-partitioned
+    sessionizer (identical output, property-tested) so resume composes
+    with the hot-conv path.
     """
     spark = new_df.sparkSession
-    local = sessionize(new_df, timeout_s, key, ts_col, tiebreak)
+    local_sessionizer = sessionize_skew_safe if skew_safe else sessionize
+    local = local_sessionizer(new_df, timeout_s, key, ts_col, tiebreak)
     state = (spark.read.parquet(ckpt.conv_state)
              .select(F.col(key).alias("_st_key"),
                      F.col("last_ts").alias("_st_last_ts"),

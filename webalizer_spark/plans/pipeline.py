@@ -61,11 +61,14 @@ class PipelineResult:
     cached_aggs: list[DataFrame] = field(default_factory=list)
 
     def unpersist(self) -> None:
+        from webalizer_spark.operators.sessionize import release_skew_caches
+
         self.enriched.unpersist()
         if self.parsed is not None:
             self.parsed.unpersist()
         for df in self.cached_aggs:
             df.unpersist()
+        release_skew_caches()
 
 
 def run_pipeline(
@@ -96,13 +99,22 @@ def run_pipeline(
               .drop("text").persist(persist_level))
     ok = parsed.filter(F.col("parse_ok"))
     err_keys = parsed.filter(~F.col("parse_ok")).select("conv_id", "turn_idx")
-    errors = transcripts.join(F.broadcast(err_keys),
-                              ["conv_id", "turn_idx"], "inner")
+    # NO broadcast hint here, deliberately: the bad-key set scales with
+    # (corrupt fraction x input) — at the 10^12-turn design scale a ~1%
+    # bad rate is 10^10 keys, which would OOM the driver + every executor
+    # if hinted. AQE sizes the join from the err_keys shuffle stats at
+    # runtime: tiny bad sets become a BroadcastHashJoin (raw side never
+    # shuffles); large ones fall back to a shuffle join. Plan-asserted in
+    # tests/test_plans.py::test_errors_sink_join_adaptive.
+    errors = transcripts.join(err_keys, ["conv_id", "turn_idx"], "inner")
 
-    # Ignore/Include filters run pre-aggregation [webalizer.c loop order]
+    # Ignore/Include filters run pre-aggregation [webalizer.c loop order]:
+    # all five Ignore families drop the whole record before any tally
     ok = ignore_include(ok, "conv_id", cfg.lists.ignore_site, cfg.lists.include_site)
     ok = ignore_include(ok, "path", cfg.lists.ignore_url, cfg.lists.include_url)
     ok = ignore_include(ok, "agent_str", cfg.lists.ignore_agent)
+    ok = ignore_include(ok, "ident", cfg.lists.ignore_user)
+    ok = ignore_include(ok, "referrer", cfg.lists.ignore_referrer)
     if cfg.mangle_agents:
         ok = ok.withColumn("agent_str", agent_mangle(F.col("agent_str"), cfg.mangle_agents))
 
@@ -149,25 +161,45 @@ def run_pipeline(
         "by_actor_class": A.per_class(spine, "actor_class"),
         "by_tool_family": A.per_class(spine, "tool_family"),
         "by_size_class": A.per_class(spine, "size_class"),
-        "top_sites": T.top_n(per_site, "hits", "conv_id", n.sites),
-        "top_sites_by_kb": T.top_n(per_site, "kbytes", "conv_id", n.sites_by_kb),
-        "top_tools": hide(T.top_n(per_url, "hits", "tool", n.urls),
-                          "tool", cfg.lists.hide_url),
-        "top_tools_by_kb": T.top_n(per_url, "kbytes", "tool", n.urls_by_kb),
-        "top_referrers": hide(T.top_n(A.per_referrer(spine), "hits", "referrer",
-                                      n.referrers),
-                              "referrer", cfg.lists.hide_referrer),
-        "top_agents": hide(T.top_n(A.per_agent(spine), "hits", "agent", n.agents),
-                           "agent", cfg.lists.hide_agent),
+        # Hide* is applied to the aggregate table BEFORE top_n so hidden
+        # entries never consume top-N slots (webalizer skips OBJ_HIDE
+        # nodes while FILLING the table to N); totals are unaffected
+        # since hide only filters the display table, never the spine.
+        "top_sites": T.top_n(hide(per_site, "conv_id", cfg.lists.hide_site),
+                             "hits", "conv_id", n.sites),
+        "top_sites_by_kb": T.top_n(hide(per_site, "conv_id", cfg.lists.hide_site),
+                                   "kbytes", "conv_id", n.sites_by_kb),
+        "top_tools": T.top_n(hide(per_url, "tool", cfg.lists.hide_url),
+                             "hits", "tool", n.urls),
+        "top_tools_by_kb": T.top_n(hide(per_url, "tool", cfg.lists.hide_url),
+                                   "kbytes", "tool", n.urls_by_kb),
+        "top_referrers": T.top_n(hide(A.per_referrer(spine), "referrer",
+                                      cfg.lists.hide_referrer),
+                                 "hits", "referrer", n.referrers),
+        "top_agents": T.top_n(hide(A.per_agent(spine), "agent",
+                                   cfg.lists.hide_agent),
+                              "hits", "agent", n.agents),
         "top_users": T.top_n(A.per_user(spine), "hits", "user", n.users),
         "top_search": T.top_n(A.per_search_term(spine), "hits", "search_term",
                               n.search),
         "top_entry": T.top_n(entry_counts(sess_pages), "entries", "page", n.entry),
         "top_exit": T.top_n(exit_counts(sess_pages), "exits", "page", n.exit),
     }
+    # Group* families: named-group rollups IN ADDITION to individuals
+    # (GROUPING SETS, one shuffle each) [linklist.c ƒisinglist]
     if cfg.lists.group_url:
         reports["grouped_tools"] = A.grouped_rollup(
             spine.filter(F.col("tool").isNotNull()), "tool", cfg.lists.group_url)
+    if cfg.lists.group_site:
+        reports["grouped_sites"] = A.grouped_rollup(
+            spine, "conv_id", cfg.lists.group_site)
+    if cfg.lists.group_agent:
+        reports["grouped_agents"] = A.grouped_rollup(
+            spine, "agent_str", cfg.lists.group_agent)
+    if cfg.lists.group_user:
+        reports["grouped_users"] = A.grouped_rollup(
+            spine.filter(F.col("ident").isNotNull()), "ident",
+            cfg.lists.group_user)
 
     return PipelineResult(
         enriched=spine, errors=errors, tool_calls=tool_calls,

@@ -829,15 +829,12 @@ WHERE a.vec_id < b.vec_id
                              CAST(b.embedding AS DOUBLE[])) >= 0.45
 """)
 def emb_near_dup_cosine(spark, sf):
-    """Embedding-cosine near-dup pairs (>= 0.45) — the semantic-dedup op."""
-    e = _t(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = (F.expr(_DOT.format(a="ea", b="eb"))
-           / (F.expr(_NORM.format(a="ea")) * F.expr(_NORM.format(a="eb"))))
-    return (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("_c", cos).filter(F.col("_c") >= 0.45)
-            .select("vec_a", "vec_b", F.round("_c", 6).alias("cos")))
+    """Embedding-cosine near-dup pairs (>= 0.45) — the semantic-dedup op.
+    Exact all-pairs BASELINE tier (size-guarded in the operator); the
+    scale path is the LSH bucket twin (emb_lsh_buckets/ann_topk)."""
+    from webalizer_spark.operators.similarity import near_dup_cosine
+
+    return near_dup_cosine(_t(spark, sf, "embeddings"), 0.45)
 
 
 @q("doc_simhash", _TOKS_CTE + """
