@@ -42,3 +42,108 @@ def test_explicit_format_column(spark):
         [(LINES[1][0], "squid")], "text string, fmt string")
     r = apply_grok_multi(df, format_col="fmt").collect()[0]
     assert r["status_text"] == "200" and r["actor"] == "conv-42"
+
+
+import datetime as dt  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from webalizer_spark.operators.parse import parse_transcripts_multi  # noqa: E402
+
+W3C_FIELDS = ("#Fields: date time c-ip cs-username cs-method cs-uri-stem "
+              "sc-status sc-bytes cs(Referer) cs(User-Agent)")
+
+MIXED = [
+    ('alice - u7 [05/Jan/2024:10:00:00 +0000] "CALL /pytest PROTO/1.1" '
+     '200 512 "proto://eng-1.example/?q=a+b" "claude/3.5 (linux)"'),
+    "1704448800.123    45 10.0.0.1 TCP_HIT/200 2048 GET /api/fetch bob",
+    ("Fri Jan  5 10:00:00 2024 3 host1 4096 /files/data.bin "
+     "b _ o r carol ftp 0 * c"),
+    "#Version: 1.0",
+    W3C_FIELDS,
+    ("2024-01-05 10:00:00 10.1.1.1 dave GET /w3c/page 200 128 "
+     "http://ref.example/ w3cagent/1.0"),
+    "1704448800.123 oops corrupt squid",
+]
+
+
+def _mixed_df(spark):
+    return spark.createDataFrame(
+        [("c1", i, "user", t, None, dt.datetime(2024, 1, 5, 10, 0, i))
+         for i, t in enumerate(MIXED)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+
+
+def test_multi_format_end_to_end_typed(spark):
+    """S2 end-to-end: every format produces a REAL timestamp + typed
+    fields + per-format parse_ok (round-1 gap: squid/xferlog never
+    reassembled ts; W3C parser missing)."""
+    out = {r["turn_idx"]: r
+           for r in parse_transcripts_multi(_mixed_df(spark)).collect()}
+    want_ts = dt.datetime(2024, 1, 5, 10, 0, 0)
+    # combined
+    assert out[0]["log_format"] == "combined" and out[0]["parse_ok"]
+    assert out[0]["ts_text"] == want_ts and out[0]["status"] == 200
+    # squid: epoch seconds -> timestamp; ms dropped (second granularity)
+    assert out[1]["log_format"] == "squid" and out[1]["parse_ok"]
+    assert out[1]["ts_text"] == want_ts
+    assert out[1]["actor"] == "10.0.0.1" and out[1]["nbytes"] == 2048
+    assert out[1]["auth_user"] == "bob" and out[1]["verb"] == "GET"
+    # xferlog: Mon/dd/time/yyyy reassembled; verb/status exempt from
+    # parse_ok (the format has none); xfertype NOT misread as agent
+    assert out[2]["log_format"] == "xferlog" and out[2]["parse_ok"]
+    assert out[2]["ts_text"] == want_ts
+    assert out[2]["verb"] is None and out[2]["status"] is None
+    assert out[2]["agent_str"] is None
+    assert out[2]["auth_user"] == "carol" and out[2]["nbytes"] == 4096
+    # w3c: #Fields-driven order; directives dropped entirely
+    assert 3 not in out and 4 not in out
+    assert out[5]["log_format"] == "w3c" and out[5]["parse_ok"]
+    assert out[5]["ts_text"] == want_ts
+    assert out[5]["actor"] == "10.1.1.1" and out[5]["auth_user"] == "dave"
+    assert out[5]["referrer"] == "http://ref.example/"
+    assert out[5]["agent_str"] == "w3cagent/1.0"
+    # corrupt squid-shaped line routes bad, never errors
+    assert out[6]["log_format"] == "squid" and not out[6]["parse_ok"]
+
+
+def test_w3c_field_order_variants(spark):
+    """#Fields order is honored per directive, incl. reordered fields
+    and cs-bytes fallback; conflicting directives raise."""
+    from webalizer_spark.functions.formats import w3c_field_order
+
+    alt = ("#Fields: c-ip date time cs-method cs-uri-stem cs-bytes "
+           "sc-status")
+    df = spark.createDataFrame(
+        [("c", 0, "u", alt, None, dt.datetime(2024, 1, 5)),
+         ("c", 1, "u", "9.9.9.9 2024-01-05 10:00:00 GET /zz 777 201",
+          None, dt.datetime(2024, 1, 5))],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    r = parse_transcripts_multi(df).collect()[0]
+    assert r["actor"] == "9.9.9.9" and r["path"] == "/zz"
+    assert r["nbytes"] == 777 and r["status"] == 201
+    assert r["ts_text"] == dt.datetime(2024, 1, 5, 10, 0, 0)
+
+    both = df.unionByName(spark.createDataFrame(
+        [("c", 2, "u", W3C_FIELDS, None, dt.datetime(2024, 1, 5))],
+        df.schema))
+    import pytest
+    with pytest.raises(ValueError, match="conflicting"):
+        w3c_field_order(both)
+
+
+def test_pipeline_grok_strategy_multi(spark, dims):
+    """run_pipeline(grok_strategy='multi') flows a mixed-format table
+    through parse -> aggregate; per-format rows land in the reports."""
+    from webalizer_spark.plans.pipeline import run_pipeline
+
+    res = run_pipeline(spark, _mixed_df(spark), dims, grok_strategy="multi")
+    spine = res.enriched
+    assert spine.count() == 4  # 4 parse-ok rows (directives dropped)
+    assert spine.filter(F.col("log_format") == "xferlog").count() == 1
+    daily = res.reports["daily"].collect()
+    assert sum(r["hits"] for r in daily) == 4
+    assert res.errors.count() == 1  # the corrupt squid line
+    res.unpersist()

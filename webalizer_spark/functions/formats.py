@@ -11,6 +11,11 @@ detected per row by cheap shape tests — a `when()` ladder, zero Python.
 Canonical fields: actor ident auth_user dt_text verb path status_text
 bytes_text referrer agent_str (GROK_FIELDS). Formats that lack a field
 yield NULL there, like the reference fills log_struct with blanks.
+dt_text carries a PER-FORMAT datetime text (epoch seconds for squid,
+'MMM d HH:mm:ss yyyy' for xferlog, 'yyyy-MM-dd HH:mm:ss' for w3c);
+ts_format() returns the matching to_timestamp pattern so the typed
+parse stage (parse.parse_transcripts_multi) reassembles a real
+timestamp for EVERY format end-to-end.
 
 Format grammars (transcript-domain analogs of the reference's):
   combined   the FIXTURES.md grammar (functions/grok.py MASTER_PATTERN)
@@ -18,9 +23,13 @@ Format grammars (transcript-domain analogs of the reference's):
              (native squid access.log shape [parser.c ƒparse_record_squid])
   xferlog    DDD Mon dd HH:MM:SS yyyy elapsed actor bytes path ... user
              (FTP xferlog shape [parser.c ƒparse_record_ftp])
+  w3c        #Fields:-driven, space-separated, field order per file
+             [parser.c ƒparse_record_w3c] — see w3c_field_order().
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -34,62 +43,173 @@ SQUID_PATTERN = (
 #         8 verb 9 path 10 user
 
 XFERLOG_PATTERN = (
-    r"^\w{3} (\w{3}) ([ \d]\d) (\d{2}:\d{2}:\d{2}) (\d{4}) (\d+) (\S+) "
+    r"^\w{3} (\w{3})\s+(\d{1,2}) (\d{2}:\d{2}:\d{2}) (\d{4}) (\d+) (\S+) "
     r"(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+) (\S+).*$"
 )
 # groups: 1 Mon 2 dd 3 time 4 yyyy 5 elapsed 6 actor 7 bytes 8 path
 #         9 xfertype 10 action 11 direction 12 mode 13 user ...
 
 
-def detect_format(text: Column) -> Column:
+def detect_format(text: Column, default: str = "combined") -> Column:
     """Cheap per-row shape detection (LogType auto mode).
 
-    combined lines start with a token then ' - '-ish fields and contain
-    '['; squid lines start with an epoch.millis number; xferlog lines
-    start with a weekday name. One rlike each on a short prefix.
+    combined lines start with three tokens then '['; squid lines start
+    with an epoch.millis number; xferlog lines start with a weekday
+    name; w3c lines are '#' directives or start with an ISO date. One
+    rlike each on a short prefix.
+
+    `default` is the class of rows matching NO shape test. The caller
+    passes 'w3c' when a #Fields: directive is present in the table —
+    the directive defines the file's format [parser.c: one LogType per
+    run], and W3C data rows can start with ANY field (e.g. c-ip), so
+    shape tests alone cannot claim them.
     """
-    head = F.substring(text, 1, 24)
+    head = F.substring(text, 1, 40)
     return (
         F.when(head.rlike(r"^\d{9,10}\.\d{3}\s"), F.lit("squid"))
         .when(head.rlike(r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun) "), F.lit("xferlog"))
-        .otherwise(F.lit("combined"))
+        .when(head.rlike(r"^#(Fields|Version|Date|Software|Remark)"),
+              F.lit("w3c"))
+        .when(head.rlike(r"^\d{4}-\d{2}-\d{2}[ \t]\d{2}:"), F.lit("w3c"))
+        .when(head.rlike(r"^\S+ \S+ \S+ \["), F.lit("combined"))
+        .otherwise(F.lit(default))
     )
 
 
-def _pack(text: Column, pattern: str, mapping: list[int | None]) -> Column:
+def _pack(text: Column, pattern: str, mapping: list[int | str | None]) -> Column:
     """regexp_replace-pack the chosen groups (in GROK_FIELDS order) into a
-    US-delimited record; None -> empty (NULL after split)."""
-    repl = _US + _US.join("" if g is None else f"${g}" for g in mapping)
+    US-delimited record. Entries: int = that group; str = a replacement
+    template combining groups (e.g. '$1 $2 $3 $4' reassembles a
+    multi-group datetime); None -> empty (NULL after split)."""
+    repl = _US + _US.join(
+        "" if g is None else (g if isinstance(g, str) else f"${g}")
+        for g in mapping)
     return F.regexp_replace(F.replace(text, F.lit(_US), F.lit("")),
                             pattern, repl)
 
 
-# mapping: canonical field -> regex group per format
-_COMBINED_MAP = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
-_SQUID_MAP = [4, None, 10, 1, 8, 9, 6, 7, None, None]   # dt_text = epoch
-_XFERLOG_MAP = [6, None, 13, None, None, 8, None, 7, None, 9]
+# mapping: canonical field -> regex group(s) per format
+#   GROK_FIELDS order: actor ident auth_user dt_text verb path
+#                      status_text bytes_text referrer agent_str
+_COMBINED_MAP: list[int | str | None] = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+# squid: dt_text = epoch seconds (ms group 2 dropped — the reference
+# also keeps second granularity)
+_SQUID_MAP: list[int | str | None] = [4, None, 10, 1, 8, 9, 6, 7, None, None]
+# xferlog: dt_text reassembled from Mon/dd/time/yyyy in ONE replacement
+# (round-1 advice: the pieces were previously discarded); xfertype
+# (group 9) is dropped — it has no canonical column, and mapping it to
+# agent_str was semantically wrong
+_XFERLOG_MAP: list[int | str | None] = [
+    6, None, 13, "$1 $2 $3 $4", None, 8, None, 7, None, None]
+
+# per-format to_timestamp pattern for the dt_text produced above;
+# squid is special-cased (epoch seconds, no pattern)
+TS_PATTERNS = {
+    "combined": "dd/MMM/yyyy:HH:mm:ss Z",
+    "xferlog": "MMM d HH:mm:ss yyyy",
+    "w3c": "yyyy-MM-dd HH:mm:ss",
+}
+
+# W3C field name -> canonical GROK_FIELDS column [parser.c
+# ƒparse_record_w3c maps the same directives into log_struct]
+_W3C_CANONICAL = {
+    "actor": ("c-ip",),
+    "ident": (),
+    "auth_user": ("cs-username",),
+    "verb": ("cs-method",),
+    "path": ("cs-uri-stem",),
+    "status_text": ("sc-status",),
+    "bytes_text": ("sc-bytes", "cs-bytes"),
+    "referrer": ("cs(Referer)",),
+    "agent_str": ("cs(User-Agent)",),
+}
+
+
+def w3c_field_order(df: DataFrame, text_col: str = "text") -> list[str]:
+    """Extract the #Fields: directive that defines this table's field
+    order [parser.c ƒparse_record_w3c: the directive precedes data rows].
+
+    One tiny distinct+collect over directive rows only (predicate
+    pushdown keeps it a metadata-cheap scan at any scale — directive
+    rows are O(files), not O(rows)). A table mixing several different
+    field orders must be split per source file first; we raise rather
+    than silently mis-map.
+    """
+    rows = (df.filter(F.col(text_col).startswith("#Fields:"))
+            .select(text_col).distinct().collect())
+    orders = {tuple(r[text_col].split()[1:]) for r in rows}
+    if not orders:
+        raise ValueError("w3c: no #Fields: directive found")
+    if len(orders) > 1:
+        raise ValueError(f"w3c: conflicting #Fields: directives: {orders}")
+    return list(next(iter(orders)))
+
+
+def _pack_w3c(text: Column, fields: Sequence[str]) -> Column:
+    """Reorder the space-separated W3C fields into the canonical packed
+    record. No regex at all: one split + positional element_at with
+    CONSTANT indices from the #Fields directive (pure codegen).
+
+    date+time reassemble into one dt_text; '-' placeholders stay (the
+    typed stage nullifies them like the other formats).
+    """
+    parts = F.split(F.regexp_replace(text, r"\s+", " "), " ")
+    idx = {name: i + 1 for i, name in enumerate(fields)}  # 1-based
+
+    def at(i: int) -> Column:
+        # try_element_at: rows with fewer tokens than the directive
+        # promises yield NULL (-> parse_ok false), never an ANSI error
+        return F.try_element_at(parts, F.lit(i))
+
+    def pick(canon: str) -> Column:
+        if canon == "dt_text":
+            if "date" in idx and "time" in idx:
+                return F.concat_ws(" ", at(idx["date"]), at(idx["time"]))
+            return F.lit(None).cast("string")
+        for w3c_name in _W3C_CANONICAL.get(canon, ()):
+            if w3c_name in idx:
+                return at(idx[w3c_name])
+        return F.lit(None).cast("string")
+
+    # positional alignment requires '' for NULL (concat_ws skips NULLs)
+    cells = [F.coalesce(pick(n), F.lit("")) for n in GROK_FIELDS]
+    return F.concat(F.lit(_US), F.concat_ws(_US, *cells))
 
 
 def apply_grok_multi(df: DataFrame, text_col: str = "text",
-                     format_col: str | None = None) -> DataFrame:
+                     format_col: str | None = None,
+                     w3c_fields: Sequence[str] | None = None) -> DataFrame:
     """Format-dispatched grok: adds `log_format` + the canonical
     GROK_FIELDS raw columns. Each format's regex runs only on its rows
     (the when() ladder short-circuits), all JVM-side.
 
-    For squid rows dt_text carries the epoch seconds (cast downstream via
-    to_timestamp(from_unixtime(...))); for xferlog rows the datetime
-    pieces would be reassembled downstream — the reference does the same
-    re-parse [parser.c per-format datetime handling].
+    w3c_fields: the #Fields: order (from w3c_field_order() or config).
+    Without it, rows detected as w3c yield NULL fields (routed as bad);
+    directive rows ('#...') always yield NULL fields — the caller skips
+    them like the reference does [parser.c: directives are neither hits
+    nor errors].
     """
-    fmt = F.col(format_col) if format_col else detect_format(F.col(text_col))
+    if format_col:
+        fmt = F.col(format_col)
+    else:
+        fmt = detect_format(
+            F.col(text_col),
+            default="w3c" if w3c_fields is not None else "combined")
     tagged = df.withColumn("log_format", fmt)
-    packed = (
+    ladder = (
         F.when(F.col("log_format") == "squid",
                _pack(F.col(text_col), SQUID_PATTERN, _SQUID_MAP))
         .when(F.col("log_format") == "xferlog",
               _pack(F.col(text_col), XFERLOG_PATTERN, _XFERLOG_MAP))
-        .otherwise(_pack(F.col(text_col), MASTER_PATTERN, _COMBINED_MAP))
     )
+    if w3c_fields is not None:
+        ladder = ladder.when(
+            (F.col("log_format") == "w3c")
+            & ~F.col(text_col).startswith("#"),
+            _pack_w3c(F.col(text_col), w3c_fields))
+    packed = ladder.otherwise(
+        F.when(F.col("log_format") == "w3c", F.col(text_col))  # no mapping
+        .otherwise(_pack(F.col(text_col), MASTER_PATTERN, _COMBINED_MAP)))
     with_parts = tagged.withColumn("_parts", F.split(packed, _US, -1))
     return with_parts.select(
         *tagged.columns,

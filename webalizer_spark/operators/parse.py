@@ -35,7 +35,10 @@ def parse_transcripts(
 
     Output adds: actor, ident, auth_user, verb, path, status int,
     nbytes long, referrer, agent_str, ts_text timestamp, parse_ok bool.
+    strategy='multi' dispatches per-row on log format (S2 LogType auto).
     """
+    if strategy == "multi":
+        return parse_transcripts_multi(df, cfg)
     clean = df.withColumn("text", sanitize(F.col("text"), cfg.max_field_len))
     raw = apply_grok(clean, "text", strategy)
     out = raw.select(
@@ -61,6 +64,82 @@ def parse_transcripts(
         & F.col("ts_text").isNotNull()
         & F.col("status").isNotNull()
         & F.col("nbytes").isNotNull()
+    )
+    return out.withColumn("parse_ok", parse_ok)
+
+
+def parse_transcripts_multi(
+    df: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    format_col: str | None = None,
+    w3c_fields: list[str] | None = None,
+    auto_w3c: bool = True,
+    drop_directives: bool = True,
+) -> DataFrame:
+    """S2 end-to-end: LogType-dispatched parse producing the SAME typed
+    schema as parse_transcripts for all four grammars [parser.c
+    ƒparse_record dispatch].
+
+    Every format yields a real ts_text: squid's epoch seconds go through
+    timestamp_seconds; xferlog/w3c/combined through their per-format
+    to_timestamp pattern (TS_PATTERNS). parse_ok requires the fields the
+    FORMAT defines: xferlog has no verb/status [ƒparse_record_ftp fills
+    blanks], so those are exempt there; all formats require
+    actor/path/ts/bytes. W3C '#' directive rows are dropped (neither
+    hits nor errors, like the reference skips them); disable with
+    drop_directives=False to route them as bad records instead.
+    """
+    from webalizer_spark.functions.formats import (
+        TS_PATTERNS,
+        apply_grok_multi,
+        w3c_field_order,
+    )
+
+    clean = df.withColumn("text", sanitize(F.col("text"), cfg.max_field_len))
+    if w3c_fields is None and auto_w3c:
+        # one metadata-cheap pass over directive rows only
+        try:
+            w3c_fields = w3c_field_order(clean)
+        except ValueError:
+            w3c_fields = None  # no w3c data in this table
+    raw = apply_grok_multi(clean, "text", format_col, w3c_fields)
+    if drop_directives:
+        raw = raw.filter(~F.col("text").startswith("#"))
+    fmt = F.col("log_format")
+    ts_text = (
+        F.when(fmt == "squid",
+               F.timestamp_seconds(F.col("dt_text").try_cast("long")))
+        .when(fmt == "xferlog",
+              F.try_to_timestamp(F.col("dt_text"),
+                                 F.lit(TS_PATTERNS["xferlog"])))
+        .when(fmt == "w3c",
+              F.try_to_timestamp(F.col("dt_text"), F.lit(TS_PATTERNS["w3c"])))
+        .otherwise(F.try_to_timestamp(F.col("dt_text"), F.lit(SPARK_TS_FMT)))
+    )
+    out = raw.select(
+        *BASE_COLS,
+        "log_format",
+        F.nullif(F.col("actor"), F.lit("-")).alias("actor"),
+        F.nullif(F.col("ident"), F.lit("-")).alias("ident"),
+        F.nullif(F.col("auth_user"), F.lit("-")).alias("auth_user"),
+        F.nullif(F.col("verb"), F.lit("-")).alias("verb"),
+        "path",
+        ts_text.alias("ts_text"),
+        F.col("status_text").try_cast("int").alias("status"),
+        F.coalesce(
+            F.col("bytes_text").try_cast("long"),
+            F.when(F.col("bytes_text") == "-", F.lit(0)),
+        ).alias("nbytes"),
+        F.nullif(F.col("referrer"), F.lit("-")).alias("referrer"),
+        F.nullif(F.col("agent_str"), F.lit("-")).alias("agent_str"),
+    )
+    parse_ok = (
+        F.col("actor").isNotNull()
+        & F.col("path").isNotNull()
+        & F.col("ts_text").isNotNull()
+        & F.col("nbytes").isNotNull()
+        & ((F.col("log_format") == "xferlog")
+           | (F.col("verb").isNotNull() & F.col("status").isNotNull()))
     )
     return out.withColumn("parse_ok", parse_ok)
 
