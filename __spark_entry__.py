@@ -46,12 +46,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import webalizer_spark.queries_synth  # noqa: F401 (registers tr2_*)
     from webalizer_spark.queries import QUERIES
 
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    import webalizer_spark.queries_synth  # noqa: F401 (registers tr2_*)
     from webalizer_spark.queries import ORACLE
 
     return dict(ORACLE)

@@ -47,6 +47,12 @@ def bench_fixture() -> str:
     # ~10 s fixed cost (see BENCH.md scaling curve); generated once and
     # cached under _bench_data/
     n_convs = int(os.environ.get("BENCH_CONVS", "200000"))
+    if os.environ.get("BENCH_WHALE") == "1":
+        # single-whale skew fixture: ONE conv holds ~1M turns (capped at
+        # max_turns*hot_mult) — wall-clock must stay flat on the
+        # skew-safe path regardless of the whale's share
+        params = GenParams(n_convs=n_convs, hot_convs=1, hot_mult=5000)
+        return ensure_fixture(BENCH_BASE, params, tag=f"whale_{n_convs}")
     # a couple of properly hot convs exercise the skew machinery
     params = GenParams(n_convs=n_convs, hot_convs=2, hot_mult=500)
     return ensure_fixture(BENCH_BASE, params, tag=f"bench_{n_convs}")
@@ -87,6 +93,16 @@ def main() -> None:
 
     pipe = run_pipeline_bench(spark, fixture, skew_safe=skew)
     qtimes["pipeline_e2e"] = pipe["sec"]
+
+    if os.environ.get("BENCH_ONLY") == "pipeline":
+        # scaling-protocol mode (tools/bench_scaling.py): pipeline only,
+        # fresh JVM per run, no headline queries
+        print(json.dumps({
+            "metric": "pipeline turns/sec",
+            "value": pipe["sec"], "unit": "sec", "pipeline": pipe,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        }))
+        return
 
     for name in HEADLINE:
         t0 = time.time()

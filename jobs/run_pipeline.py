@@ -87,6 +87,20 @@ def main() -> None:
     counts = write_sinks(res, args.output)
     if ckpt is not None:
         save_state(res.enriched, ckpt)
+        # S9 history table (webalizer.hist analog): month rows
+        # re-aggregated from the CUMULATIVE daily state (correct even
+        # when a month spans several incremental runs), upserted by
+        # month key — MERGE INTO on Iceberg, read-merge-swap on the
+        # parquet shim
+        from pyspark.sql import functions as F
+
+        io_out = TableIO(spark, base_path=args.output)
+        hist = (spark.read.parquet(ckpt.daily_state)
+                .groupBy(F.date_trunc("month", "day_ts").alias("month_ts"))
+                .agg(*[F.sum(c).alias(c)
+                       for c in ["hits", "files", "pages", "errors",
+                                 "bytes", "visits"]]))
+        io_out.merge(hist, "history", ["month_ts"])
     sec = time.time() - t0
     total = sum(v for k, v in counts.items()
                 if k in ("errors", "by_role"))

@@ -132,3 +132,20 @@ def test_auto_skew_selection_and_metrics(spark, transcripts, dims, tmp_path):
         assert all("bytes" in p for p in m["spine_partitions"])
     finally:
         res.unpersist()
+
+
+def test_full_dump_sinks(spark, transcripts, dims):
+    """T5/S6: cfg.dumps materializes all_* tables — the FULL sorted
+    aggregate, not a top-N slice."""
+    from webalizer_spark.config import EngineConfig
+    from webalizer_spark.plans.pipeline import run_pipeline
+
+    cfg = EngineConfig(dumps=("tools", "sites"))
+    res = run_pipeline(spark, transcripts, dims, cfg=cfg)
+    all_tools = res.reports["all_tools"].toPandas()
+    n_tools = res.enriched.filter("tool IS NOT NULL") \
+        .select("tool").distinct().count()
+    assert len(all_tools) == n_tools          # full table, no N cut
+    assert (all_tools["hits"].is_monotonic_decreasing)
+    assert "all_sites" in res.reports and "all_agents" not in res.reports
+    res.unpersist()

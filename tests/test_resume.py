@@ -198,3 +198,46 @@ def test_skew_cache_released(spark, parsed_ok):
     release_skew_caches()
     assert not _SKEW_CACHES
     assert not (cached.storageLevel.useMemory or cached.storageLevel.useDisk)
+
+
+def test_tableio_merge_upsert(spark, tmp_path):
+    """S9 parquet-shim MERGE: same-key rows replaced, others survive;
+    first merge on a missing table creates it."""
+    from webalizer_spark.sources.tables import TableIO
+
+    io = TableIO(spark, base_path=str(tmp_path))
+    v1 = spark.createDataFrame(
+        [("2024-01", 10), ("2024-02", 20)], "month string, hits int")
+    io.merge(v1, "history", ["month"])
+    v2 = spark.createDataFrame(
+        [("2024-02", 25), ("2024-03", 5)], "month string, hits int")
+    io.merge(v2, "history", ["month"])
+    got = {r["month"]: r["hits"]
+           for r in spark.read.parquet(str(tmp_path / "history")).collect()}
+    assert got == {"2024-01": 10, "2024-02": 25, "2024-03": 5}
+
+
+def test_history_from_cumulative_daily_state(spark, parsed_ok, halves):
+    """History months re-aggregated from the MERGED daily state equal a
+    single full run's month summary, even for a month split across two
+    incremental runs."""
+    first, second = halves
+    shutil.rmtree(CKPT, ignore_errors=True)
+    ckpt = CheckpointPaths(CKPT)
+    save_state(sessionize(first), ckpt)
+    save_state(resume_sessionize(second, ckpt), ckpt)
+
+    hist = (spark.read.parquet(ckpt.daily_state)
+            .groupBy(F.date_trunc("month", "day_ts").alias("month_ts"))
+            .agg(F.sum("hits").alias("hits"), F.sum("bytes").alias("bytes"))
+            .toPandas().sort_values("month_ts").reset_index(drop=True))
+    full = (sessionize(parsed_ok)
+            .groupBy(F.date_trunc("month", "ts").alias("month_ts"))
+            .agg(F.count(F.lit(1)).alias("hits"),
+                 F.sum("nbytes").alias("bytes"))
+            .toPandas().sort_values("month_ts").reset_index(drop=True))
+    assert hist["month_ts"].tolist() == full["month_ts"].tolist()
+    assert hist["hits"].astype("int64").tolist() == \
+        full["hits"].astype("int64").tolist()
+    assert hist["bytes"].astype("int64").tolist() == \
+        full["bytes"].astype("int64").tolist()

@@ -79,6 +79,10 @@ class EngineConfig:
     # Incremental [preserve.c ƒsave_state/ƒrestore_state]: resume from
     # checkpoint, skipping records at-or-before the saved watermark.
     incremental: bool = False
+    # Dump* keywords [sample.conf DumpSites/DumpURLs/DumpReferrers/
+    # DumpAgents/DumpUsers/DumpSearchstr]: families whose FULL sorted
+    # table is written as an all_* sink (T5 .tab dump analog).
+    dumps: tuple[str, ...] = ()
     # Field caps (MAXHOST/MAXURL/... in webalizer.h): bound adversarial rows.
     max_field_len: int = 4096
     # Skew handling: convs with more turns than this take the

@@ -185,6 +185,21 @@ def run_pipeline(
         "top_entry": T.top_n(entry_counts(sess_pages), "entries", "page", n.entry),
         "top_exit": T.top_n(exit_counts(sess_pages), "exits", "page", n.exit),
     }
+    # T5/S6 full dumps (Dump* keywords): the WHOLE sorted table as an
+    # all_* sink — a true global sort (range partition + local sort),
+    # only materialized for families the config asks for
+    _dump_sources = {
+        "sites": lambda: (per_site, "hits", "conv_id"),
+        "tools": lambda: (per_url, "hits", "tool"),
+        "agents": lambda: (A.per_agent(spine), "hits", "agent"),
+        "referrers": lambda: (A.per_referrer(spine), "hits", "referrer"),
+        "users": lambda: (A.per_user(spine), "hits", "user"),
+        "search": lambda: (A.per_search_term(spine), "hits", "search_term"),
+    }
+    for fam in cfg.dumps:
+        src, metric, key = _dump_sources[fam]()
+        reports[f"all_{fam}"] = T.full_dump(src, metric, key)
+
     # Group* families: named-group rollups IN ADDITION to individuals
     # (GROUPING SETS, one shuffle each) [linklist.c ƒisinglist]
     if cfg.lists.group_url:

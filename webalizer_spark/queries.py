@@ -19,7 +19,10 @@ The transcript-pipeline queries (tr_*) run on the deterministic synthetic
 fixture (datagen.py) because the transcript table is not one of the
 driver's DuckDB views — the driver records rows-only checks for them;
 full value assertions for those live in tests/ against the pandas
-mini-oracle.
+mini-oracle. The tr2_* family (queries_synth.py) closes that oracle gap:
+CLF lines are synthesized identically from the driver's `events` view on
+both sides, so grok/parse/error-routing/search/mangle are hash-checked
+bit-exact against DuckDB as well.
 """
 
 from __future__ import annotations
@@ -427,13 +430,16 @@ SELECT
     AS without_orders
 """)
 def tpch_semi_anti(spark, sf):
-    """Semi/anti join (engine-internal idiom for P2 Ignore-list joins)."""
+    """Semi/anti join (engine-internal idiom for P2 Ignore-list joins).
+
+    ONE action: a left join + has-match flag aggregated once — the
+    two-count version scanned customer⋈orders twice."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
-    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").count()
-    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").count()
-    return spark.createDataFrame([(semi, anti)],
-                                 "with_orders bigint, without_orders bigint")
+    o = _t(spark, sf, "orders").select("o_custkey").distinct()
+    flagged = c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+    return flagged.agg(
+        F.count_if(F.col("o_custkey").isNotNull()).alias("with_orders"),
+        F.count_if(F.col("o_custkey").isNull()).alias("without_orders"))
 
 
 # =========================================================================
@@ -1058,3 +1064,9 @@ def evt_approx_distinct(spark, sf):
         F.approx_count_distinct("user_id").alias("approx_sites"),
         F.count(F.lit(1)).alias("hits"),
     )
+
+
+# register the synthesized-transcript oracle family (tr2_*) — import at
+# module bottom so every consumer of QUERIES/ORACLE sees them; safe:
+# queries_synth only needs q/_t, which are defined above
+from webalizer_spark import queries_synth  # noqa: E402,F401

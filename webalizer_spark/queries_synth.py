@@ -1,0 +1,363 @@
+"""Oracle-checked transcript-pipeline queries (tr2_*).
+
+Round-1 gap: the flagship parse path (S2-S4, F1, F3-F6, P7/P8) was only
+rows-checked by the driver because the transcript fixture is not a
+DuckDB view. This module closes it: CLF lines are SYNTHESIZED from the
+driver's `events` view with IDENTICAL deterministic expressions on both
+sides (Spark builds them with concat/date_format; the oracle SQL builds
+them with ||/strftime), then the Spark side runs the REAL engine
+operators (parse_transcripts, search_terms, agent_mangle,
+parse_transcripts_multi) while DuckDB re-derives every field with
+regexp_extract/strptime — so grok extraction, datetime parsing,
+error routing, status histogram, search-term extraction and the agent
+mangle ladder all get bit-exact hash_match rows in CORRECTNESS.
+
+Determinism notes:
+  - both engines truncate ts to the second before formatting;
+  - month/weekday names: Spark datetime patterns use Locale.US, DuckDB
+    strftime is English-only — identical 3-letter forms;
+  - all arithmetic on the line is integer (modulo) or IEEE double
+    (floor(value*100)) — identical bit results;
+  - corruption classes are keyed on event_id % 97 (0: truncated line ->
+    grammar miss; 1: mangled datetime -> grammar hit, timestamp parse
+    fail), mirroring the reference's total_bad tally of both
+    ƒparse_record failures and bad-date records [webalizer.c].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webalizer_spark.functions.grok import MASTER_PATTERN
+from webalizer_spark.queries import _t, q
+
+# ---------------------------------------------------------------------------
+# shared line synthesis — Spark side
+# ---------------------------------------------------------------------------
+
+
+def _synth_lines(ev):
+    """events -> (event_id, ts, text) with deterministic CLF lines."""
+    s = lambda c: c.cast("string")  # noqa: E731
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ts = F.date_trunc("second", F.col("ts"))
+    actor = F.concat(F.lit("user"), s(uid))
+    ident = F.when(eid % 10 == 0,
+                   F.concat(F.lit("u"), s(uid % 50))).otherwise("-")
+    dt = F.concat(F.date_format(ts, "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000"))
+    verb = (F.when(eid % 3 == 0, "GET")
+            .when(eid % 3 == 1, "CALL").otherwise("POST"))
+    path = F.concat(F.col("event_type"), F.lit("/e"), s(eid % 100))
+    status = (F.when(F.col("event_type") == "error", F.lit(400) + eid % 5)
+              .otherwise(F.lit(200) + (eid % 2) * 100)).cast("int")
+    nbytes = F.when(eid % 11 == 0, "-").otherwise(
+        s(F.floor(F.col("value") * 100).cast("long")))
+    referrer = F.when(
+        eid % 3 == 0,
+        F.concat(F.lit("proto://eng-"), s(uid % 8), F.lit(".example/?q="),
+                 F.upper("event_type"), F.lit("+x%20y"))).otherwise("-")
+    agent = F.concat(F.lit("tool"), s(eid % 4), F.lit("/"), s(uid % 3 + 1),
+                     F.lit("."), s(eid % 7), F.lit(" (os"), s(uid % 2),
+                     F.lit(") extra/9"))
+    line = F.concat(actor, F.lit(" "), ident, F.lit(" "), ident,
+                    F.lit(" ["), dt, F.lit('] "'), verb, F.lit(" /"), path,
+                    F.lit(' PROTO/1.1" '), s(status), F.lit(" "), nbytes,
+                    F.lit(' "'), referrer, F.lit('" "'), agent, F.lit('"'))
+    text = (F.when(eid % 97 == 0, F.substring(line, 1, 25))
+            .when(eid % 97 == 1, F.replace(line, F.lit("["), F.lit("[?")))
+            .otherwise(line))
+    return ev.select("event_id", ts.alias("ts"), text.alias("text"))
+
+
+def _synth_transcripts(spark, sf):
+    """Synth lines shaped as the engine's transcript input contract."""
+    lines = _synth_lines(_t(spark, sf, "events"))
+    return lines.select(
+        F.concat(F.lit("c"), (F.col("event_id") % 1000).cast("string")
+                 ).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+
+
+def _parsed(spark, sf):
+    """The REAL engine parse over the synthesized table, keyed back to
+    event_id for comparison."""
+    from webalizer_spark.operators.parse import parse_transcripts
+
+    return (parse_transcripts(_synth_transcripts(spark, sf))
+            .withColumn("event_id", F.col("turn_idx").cast("long")))
+
+
+# ---------------------------------------------------------------------------
+# shared line synthesis — oracle (DuckDB) side
+# ---------------------------------------------------------------------------
+
+# <<PAT>> placeholder avoids f-string brace collisions with the regex
+_BASE_CTE = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, value,
+         date_trunc('second', ts) AS ts,
+         'user' || user_id AS actor,
+         CASE WHEN event_id % 10 = 0 THEN 'u' || (user_id % 50)
+              ELSE '-' END AS ident,
+         strftime(date_trunc('second', ts), '%d/%b/%Y:%H:%M:%S')
+             || ' +0000' AS dt,
+         CASE event_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'CALL'
+              ELSE 'POST' END AS verb,
+         event_type || '/e' || (event_id % 100) AS path,
+         CAST(CASE WHEN event_type = 'error' THEN 400 + event_id % 5
+              ELSE 200 + (event_id % 2) * 100 END AS INT) AS status,
+         CASE WHEN event_id % 11 = 0 THEN '-'
+              ELSE CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)
+              END AS bytes,
+         CASE WHEN event_id % 3 = 0
+              THEN 'proto://eng-' || (user_id % 8) || '.example/?q='
+                   || upper(event_type) || '+x%20y'
+              ELSE '-' END AS referrer,
+         'tool' || (event_id % 4) || '/' || (user_id % 3 + 1) || '.'
+             || (event_id % 7) || ' (os' || (user_id % 2)
+             || ') extra/9' AS agent
+  FROM events
+), lines AS (
+  SELECT event_id, ts,
+         CASE WHEN event_id % 97 = 0 THEN substr(line, 1, 25)
+              WHEN event_id % 97 = 1 THEN replace(line, '[', '[?')
+              ELSE line END AS text
+  FROM (SELECT *,
+               actor || ' ' || ident || ' ' || ident || ' [' || dt || '] "'
+               || verb || ' /' || path || ' PROTO/1.1" ' || status || ' '
+               || bytes || ' "' || referrer || '" "' || agent || '"' AS line
+        FROM base)
+), g AS (
+  -- one regex pass extracting all 10 groups as a struct (DuckDB's
+  -- positional regexp_extract caps the group index at 9)
+  SELECT event_id, ts, text,
+         regexp_extract(text, '<<PAT>>',
+           ['actor','ident','auth_user','dt','verb','path','status',
+            'bytes','referrer','agent']) AS gg
+  FROM lines
+), parsed AS (
+  SELECT event_id, ts, text,
+         NULLIF(gg['actor'], '') AS actor,
+         NULLIF(NULLIF(gg['ident'], ''), '-') AS ident,
+         NULLIF(NULLIF(gg['auth_user'], ''), '-') AS auth_user,
+         NULLIF(gg['verb'], '') AS verb,
+         NULLIF(gg['path'], '') AS path,
+         CAST(try_strptime(split_part(NULLIF(gg['dt'], ''), ' ', 1),
+             '%d/%b/%Y:%H:%M:%S') AS TIMESTAMP) AS ts_text,
+         TRY_CAST(NULLIF(gg['status'], '') AS INT) AS status,
+         CASE WHEN gg['bytes'] = '-' THEN 0
+              ELSE TRY_CAST(NULLIF(gg['bytes'], '') AS BIGINT)
+              END AS nbytes,
+         NULLIF(NULLIF(gg['referrer'], ''), '-') AS referrer,
+         NULLIF(gg['agent'], '') AS agent_str
+  FROM g
+), final AS (
+  SELECT *,
+         (actor IS NOT NULL AND verb IS NOT NULL AND path IS NOT NULL
+          AND ts_text IS NOT NULL AND status IS NOT NULL
+          AND nbytes IS NOT NULL) AS parse_ok
+  FROM parsed
+)
+""".replace("<<PAT>>", MASTER_PATTERN)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+@q("tr2_parse_fields", _BASE_CTE + """
+SELECT event_id, actor, ident, auth_user, verb, path, ts_text, status,
+       nbytes, referrer, agent_str, parse_ok
+FROM final
+""")
+def tr2_parse_fields(spark, sf):
+    """S2/S3 + F5/F6 oracle: the engine's one-regex-pass grok + typed
+    casts vs DuckDB's independent regexp_extract/strptime, every field,
+    every row (incl. both corruption classes)."""
+    return _parsed(spark, sf).select(
+        "event_id", "actor", "ident", "auth_user", "verb", "path",
+        "ts_text", "status", "nbytes", "referrer", "agent_str", "parse_ok")
+
+
+@q("tr2_error_routing", _BASE_CTE + """
+SELECT event_id, substr(text, 1, 20) AS head
+FROM final WHERE NOT parse_ok
+""")
+def tr2_error_routing(spark, sf):
+    """S4 oracle: exact SET of rows routed to the errors sink — both
+    grammar misses (truncation) and datetime-validation failures."""
+    return (_parsed(spark, sf).filter(~F.col("parse_ok"))
+            .select("event_id", F.substring("text", 1, 20).alias("head")))
+
+
+@q("tr2_status_histogram", _BASE_CTE + """
+SELECT status, COUNT(*) AS hits FROM final WHERE parse_ok GROUP BY status
+""")
+def tr2_status_histogram(spark, sf):
+    """P8/A10 oracle: response-code histogram over grok-extracted status."""
+    from webalizer_spark.operators.aggregates import status_histogram
+
+    return status_histogram(_parsed(spark, sf).filter(F.col("parse_ok")))
+
+
+@q("tr2_daily_totals", _BASE_CTE + """
+SELECT date_trunc('day', ts_text) AS day_ts,
+       COUNT(*) AS hits,
+       COUNT(*) FILTER (WHERE status = 200) AS files,
+       COUNT(*) FILTER (WHERE status >= 400) AS errors,
+       CAST(SUM(nbytes) AS BIGINT) AS bytes,
+       COUNT(DISTINCT actor) AS sites
+FROM final WHERE parse_ok GROUP BY 1
+""")
+def tr2_daily_totals(spark, sf):
+    """A8 over the PARSE path: daily totals keyed on the parsed
+    timestamp (not the source ts) — proves the datetime round-trip."""
+    p = _parsed(spark, sf).filter(F.col("parse_ok"))
+    return p.groupBy(F.date_trunc("day", "ts_text").alias("day_ts")).agg(
+        F.count(F.lit(1)).alias("hits"),
+        F.count_if(F.col("status") == 200).alias("files"),
+        F.count_if(F.col("status") >= 400).alias("errors"),
+        F.sum("nbytes").alias("bytes"),
+        F.countDistinct("actor").alias("sites"))
+
+
+@q("tr2_search_terms", _BASE_CTE + """
+SELECT lower(replace(replace(regexp_extract(referrer, 'q=([^&]*)', 1),
+                             '+', ' '), '%20', ' ')) AS search_term,
+       COUNT(*) AS hits
+FROM final WHERE parse_ok AND referrer IS NOT NULL
+GROUP BY 1
+""")
+def tr2_search_terms(spark, sf):
+    """F4/F1/J4/A6 oracle: srch_string (param extract + '+'->space +
+    %XX-decode + lowercase) vs DuckDB replace chain, then per-term agg."""
+    from webalizer_spark.functions.scalars import search_terms
+    from webalizer_spark.operators.aggregates import per_search_term
+
+    p = (_parsed(spark, sf)
+         .filter(F.col("parse_ok") & F.col("referrer").isNotNull())
+         .withColumn("search_term", search_terms(F.col("referrer"))))
+    return per_search_term(p)
+
+
+@q("tr2_agent_mangle", _BASE_CTE + """
+SELECT DISTINCT agent_str,
+       regexp_extract(agent_str, '^(.*?\\))', 1) AS m1,
+       regexp_extract(agent_str, '^(\\S+/\\d+\\.\\d+)', 1) AS m3,
+       split_part(agent_str, '/', 1) AS m5
+FROM final WHERE parse_ok
+""")
+def tr2_agent_mangle(spark, sf):
+    """F3 oracle: MangleAgents ladder levels 1/3/5 on grokked agents."""
+    from webalizer_spark.functions.scalars import agent_mangle
+
+    a = F.col("agent_str")
+    return (_parsed(spark, sf).filter(F.col("parse_ok"))
+            .select("agent_str",
+                    agent_mangle(a, 1).alias("m1"),
+                    agent_mangle(a, 3).alias("m3"),
+                    agent_mangle(a, 5).alias("m5"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# multi-format oracle (S2 squid/xferlog end-to-end)
+# ---------------------------------------------------------------------------
+
+_MULTI_CTE = """
+WITH base AS (
+  SELECT event_id, user_id, event_type,
+         date_trunc('second', ts) AS ts,
+         event_id % 3 AS fmt,
+         CAST(CASE WHEN event_type = 'error' THEN 400 + event_id % 5
+              ELSE 200 + (event_id % 2) * 100 END AS INT) AS status,
+         CAST(FLOOR(value * 100) AS BIGINT) AS nbytes
+  FROM events
+), lines AS (
+  SELECT event_id, ts, fmt, status, nbytes,
+     CASE fmt
+       WHEN 0 THEN
+         'user' || user_id || ' - - ['
+         || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "GET /'
+         || event_type || ' PROTO/1.1" ' || status || ' ' || nbytes
+         || ' "-" "tool/1.0 (os)"'
+       WHEN 1 THEN
+         CAST(epoch(ts) AS BIGINT) || '.000    45 user' || user_id
+         || ' TCP_HIT/' || status || ' ' || nbytes || ' GET /'
+         || event_type || ' u' || (user_id % 50)
+       ELSE
+         strftime(ts, '%a %b %-d %H:%M:%S %Y') || ' 3 user' || user_id
+         || ' ' || nbytes || ' /' || event_type
+         || ' b _ o r u' || (user_id % 50) || ' ftp 0 * c'
+     END AS text
+  FROM base
+)
+"""
+
+
+def _synth_multi(spark, sf):
+    ev = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ts = F.date_trunc("second", F.col("ts"))
+    fmt = eid % 3
+    status = (F.when(F.col("event_type") == "error", F.lit(400) + eid % 5)
+              .otherwise(F.lit(200) + (eid % 2) * 100)).cast("int")
+    nbytes = F.floor(F.col("value") * 100).cast("long")
+    combined = F.concat(
+        F.lit("user"), s(uid), F.lit(" - - ["),
+        F.date_format(ts, "dd/MMM/yyyy:HH:mm:ss"), F.lit(' +0000] "GET /'),
+        F.col("event_type"), F.lit(' PROTO/1.1" '), s(status), F.lit(" "),
+        s(nbytes), F.lit(' "-" "tool/1.0 (os)"'))
+    squid = F.concat(
+        s(F.unix_timestamp(ts)), F.lit(".000    45 user"), s(uid),
+        F.lit(" TCP_HIT/"), s(status), F.lit(" "), s(nbytes),
+        F.lit(" GET /"), F.col("event_type"), F.lit(" u"), s(uid % 50))
+    xferlog = F.concat(
+        F.date_format(ts, "EEE MMM d HH:mm:ss yyyy"), F.lit(" 3 user"),
+        s(uid), F.lit(" "), s(nbytes), F.lit(" /"), F.col("event_type"),
+        F.lit(" b _ o r u"), s(uid % 50), F.lit(" ftp 0 * c"))
+    text = F.when(fmt == 0, combined).when(fmt == 1, squid).otherwise(xferlog)
+    return ev.select(
+        F.concat(F.lit("c"), s(eid % 1000)).alias("conv_id"),
+        eid.cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        ts.alias("ts"))
+
+
+@q("tr2_multi_format", _MULTI_CTE + """
+SELECT event_id,
+       CASE fmt WHEN 0 THEN 'combined' WHEN 1 THEN 'squid'
+            ELSE 'xferlog' END AS log_format,
+       'user' || user_id AS actor,
+       CASE fmt WHEN 0 THEN event_type WHEN 1 THEN '/' || event_type
+            ELSE '/' || event_type END AS path,
+       CASE fmt WHEN 2 THEN NULL ELSE status END AS status,
+       nbytes, ts AS ts_text,
+       CASE fmt WHEN 0 THEN NULL ELSE 'u' || (user_id % 50) END AS auth_user,
+       TRUE AS parse_ok
+FROM (SELECT l.event_id, l.fmt, l.status, l.nbytes, l.ts, b.user_id,
+             b.event_type
+      FROM lines l JOIN base b USING (event_id))
+""")
+def tr2_multi_format(spark, sf):
+    """S2 multi-format oracle: squid epoch + xferlog datetime reassembly
+    parse END-TO-END (round-1: 'two of four formats are demo-only') —
+    the oracle asserts the per-format round-trip: parsed ts_text equals
+    the source second-truncated ts, fields land in the right canonical
+    columns, and xferlog rows are parse_ok despite having no verb/status.
+    """
+    from webalizer_spark.operators.parse import parse_transcripts_multi
+
+    p = parse_transcripts_multi(_synth_multi(spark, sf))
+    return p.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        "log_format", "actor", "path", "status",
+        "nbytes", "ts_text", "auth_user", "parse_ok")

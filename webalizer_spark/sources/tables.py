@@ -74,6 +74,44 @@ class TableIO:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(os.path.join(self.base_path, name))
 
+    def merge(self, df: DataFrame, name: str, keys: list[str]) -> None:
+        """Upsert by key (S9 history-table semantics): rows in `df`
+        replace same-key rows; other rows survive.
+
+        Iceberg: a real MERGE INTO (UPDATE * / INSERT *). Parquet shim:
+        read -> anti-join old on keys -> union -> write to a temp dir ->
+        atomic-ish directory swap (the temp write MATERIALIZES the merge
+        before the old dir is touched, so a crash never leaves a
+        half-merged table — the same write-then-rename discipline as the
+        checkpoint manifest).
+        """
+        if self.use_iceberg:
+            target = f"{self.catalog}.{name}"
+            if not self.spark.catalog.tableExists(target):
+                df.writeTo(target).create()
+                return
+            df.createOrReplaceTempView("_merge_src")
+            on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            self.spark.sql(f"""
+                MERGE INTO {target} t USING _merge_src s ON {on}
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+            """)
+            return
+        assert self.base_path is not None
+        path = os.path.join(self.base_path, name)
+        if not os.path.exists(path):
+            df.write.mode("overwrite").parquet(path)
+            return
+        import shutil
+
+        old = self.spark.read.parquet(path)
+        merged = old.join(df.select(*keys), keys, "left_anti").unionByName(df)
+        tmp = path + "__merge_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Convenience: read one of the driver-provided testdata tables."""
