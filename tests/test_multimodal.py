@@ -5,7 +5,7 @@ import pytest
 
 from tests.conftest import FIXTURE_BASE
 from webalizer_spark.operators.multimodal import (
-    _decode_fake,
+    decode_media,
     extract_features,
     gen_media,
     resize_images,
@@ -25,7 +25,7 @@ def test_feature_extraction(spark, media):
     assert feats["ok"].all()
     # cross-check one row against a local decode
     row = media.filter("media_id = 7").collect()[0]
-    arr, shape = _decode_fake(bytes(row["payload"]), row["kind"])
+    arr, shape = decode_media(bytes(row["payload"]), row["kind"])
     got = feats[feats["media_id"] == 7].iloc[0]
     assert abs(got["mean_val"] - float(arr.mean())) < 1e-12
     assert got["decoded_shape"] == "x".join(map(str, shape))
@@ -57,3 +57,38 @@ def test_corrupt_media_routes_not_crashes(spark, media):
     bad = feats[~feats["ok"]]
     assert len(bad) == 12
     assert bad["mean_val"].isna().all()
+
+
+def test_real_bmp_wav_codecs_round_trip():
+    """BMP 24-bit and WAV PCM16 are REAL decoders (pure numpy): byte-
+    exact round-trip, header fields honored."""
+    from webalizer_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    g = np.arange(7 * 13, dtype=np.uint8).reshape(7, 13)  # odd width: padding
+    arr, shape = decode_bmp(encode_bmp24(g))
+    assert shape == (7, 13) and (arr == g).all()
+
+    s = (np.arange(501, dtype=np.int16) - 250) * 77
+    d, sr = decode_wav(encode_wav_pcm16(s, 22050))
+    assert sr == 22050 and (d == s).all()
+
+
+def test_fixture_contains_real_payload_formats(spark, media):
+    """The fixture really ships .bmp/.wav bytes and the Spark pipeline
+    decodes them (not just the fake container)."""
+    rows = media.select("media_id", "kind", "payload").collect()
+    magics = {bytes(r["payload"][:2]) for r in rows}
+    assert b"BM" in magics
+    assert any(bytes(r["payload"][:4]) == b"RIFF" for r in rows)
+    feats = extract_features(media).toPandas()
+    assert feats["ok"].all()
+    # a known-BMP row (image, even id) produced plausible image features
+    bmp_ids = [r["media_id"] for r in rows
+               if bytes(r["payload"][:2]) == b"BM"]
+    got = feats[feats["media_id"].isin(bmp_ids)]
+    assert len(got) > 0 and got["decoded_shape"].str.contains("x").all()

@@ -241,3 +241,30 @@ def test_history_from_cumulative_daily_state(spark, parsed_ok, halves):
         full["hits"].astype("int64").tolist()
     assert hist["bytes"].astype("int64").tolist() == \
         full["bytes"].astype("int64").tolist()
+
+
+def test_fold_seq_err_keeps_late_records(spark, parsed_ok, halves):
+    """FoldSeqErr recast: late stragglers fold TO the watermark instead
+    of being dropped; strict mode still drops them."""
+    first, second = halves
+    shutil.rmtree(CKPT, ignore_errors=True)
+    ckpt = CheckpointPaths(CKPT)
+    save_state(sessionize(first), ckpt)
+    wm = load_manifest(ckpt)["watermark"]
+
+    # a batch of genuinely-new rows plus 5 stragglers from before the wm
+    stragglers = first.orderBy("ts").limit(5)
+    batch = second.unionByName(stragglers)
+
+    strict = resume_filter(batch, ckpt)
+    assert strict.count() == second.count()          # stragglers dropped
+
+    folded = resume_filter(batch, ckpt, fold_seq_err=True)
+    assert folded.count() == second.count() + 5      # stragglers kept
+    late = folded.filter("seq_folded")
+    assert late.count() == 5
+    # folded rows sit exactly at the watermark, never before it
+    assert late.filter(
+        F.col("ts") != F.lit(wm).cast("timestamp")).count() == 0
+    assert folded.filter(
+        F.col("ts") < F.lit(wm).cast("timestamp")).count() == 0

@@ -185,12 +185,28 @@ def load_manifest(ckpt: CheckpointPaths) -> dict:
         return json.load(f)
 
 
-def resume_filter(df: DataFrame, ckpt: CheckpointPaths) -> DataFrame:
+def resume_filter(df: DataFrame, ckpt: CheckpointPaths,
+                  fold_seq_err: bool = False, ts_col: str = "ts") -> DataFrame:
     """P6: incremental restart skips records at-or-before the watermark
     [webalizer.c total_ignore tally]. On Iceberg the same predicate prunes
-    ts-bucketed partitions at planning time."""
-    wm = load_manifest(ckpt)["watermark"]
-    return df.filter(F.col("ts") > F.lit(wm).cast("timestamp"))
+    ts-bucketed partitions at planning time.
+
+    fold_seq_err recasts the reference's FoldSeqErr keyword [webalizer.c:
+    an out-of-sequence record is treated as if it occurred at the last
+    seen time instead of being dropped]: late stragglers in the NEW batch
+    (ts at-or-before the watermark) are kept with ts folded TO the
+    watermark, so they still count — tagged seq_folded for the metrics.
+    The caller must feed only new data in this mode (a full re-read would
+    re-fold already-processed records, exactly as re-running the
+    reference over an old log would double-count under FoldSeqErr).
+    The streaming twin is the watermark-late-data policy
+    (streaming/session_stream.py).
+    """
+    wm = F.lit(load_manifest(ckpt)["watermark"]).cast("timestamp")
+    if not fold_seq_err:
+        return df.filter(F.col(ts_col) > wm)
+    return (df.withColumn("seq_folded", F.col(ts_col) <= wm)
+            .withColumn(ts_col, F.greatest(F.col(ts_col), wm)))
 
 
 def resume_sessionize(new_df: DataFrame, ckpt: CheckpointPaths,
