@@ -57,3 +57,49 @@ def test_streaming_tool_counts_match_batch(spark, transcripts, fixture_dir):
         assert got == ref
     finally:
         q.stop()
+
+
+def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState twin: per-conv (last_ts, sessions) state
+    carries across micro-batches AND query restarts — equal to one batch
+    sessionize over the union."""
+    import datetime as dt
+
+    from webalizer_spark.streaming.session_stream import (
+        streaming_sessionize_stateful,
+    )
+
+    t0 = dt.datetime(2024, 1, 5, 10, 0, 0)
+    mk = lambda c, i, mins: (c, i, t0 + dt.timedelta(minutes=mins))  # noqa: E731
+    # conv a: run1 ends 10:20, run2 resumes 10:40 (gap 20m < 30m -> SAME
+    # session); conv b: resumes after 2h -> NEW session; conv c only in run2
+    half1 = [mk("a", 0, 0), mk("a", 1, 20), mk("b", 0, 5)]
+    half2 = [mk("a", 2, 40), mk("b", 1, 125), mk("c", 0, 130)]
+    schema = "conv_id string, turn_idx int, ts timestamp"
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(indir)
+        stream = spark.readStream.schema(schema).parquet(indir)
+        q = (streaming_sessionize_stateful(stream)
+             .writeStream.format("parquet").option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    run(half1)
+    run(half2)
+
+    got = {(r["conv_id"], r["turn_idx"]): (r["is_new_session"], r["session_seq"])
+           for r in spark.read.parquet(outdir).collect()}
+    batch = sessionize(
+        spark.createDataFrame(half1 + half2, schema), 1800)
+    want = {(r["conv_id"], r["turn_idx"]): (r["is_new_session"], r["session_seq"])
+            for r in batch.collect()}
+    assert got == want
+    # and the interesting rows behaved as designed
+    assert got[("a", 2)] == (False, 1)   # resumed same session
+    assert got[("b", 1)] == (True, 2)    # timeout -> new session
+    assert got[("c", 0)] == (True, 1)    # unseen conv starts at 1

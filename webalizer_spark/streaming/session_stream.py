@@ -55,3 +55,55 @@ def streaming_tool_counts(stream: DataFrame,
         .agg(F.count(F.lit(1)).alias("hits"))
         .select(F.col("window.start").alias("hour_ts"), "tool", "hits")
     )
+
+
+def streaming_sessionize_stateful(stream: DataFrame,
+                                  cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """W1 as a CUSTOM STATEFUL streaming operator (applyInPandasWithState).
+
+    Per-conv state carries (last_ts epoch, sessions so far) across
+    micro-batches — the streaming twin of checkpoint.resume_sessionize,
+    and the exact analog of the reference's restored hnode.tstamp
+    [hashtab.c ƒput_hnode with restored node]: a turn arriving within
+    the timeout of the saved last_ts CONTINUES the saved session (same
+    session_seq, is_new_session false); past it, numbering increments
+    from the saved count. Emits one row per input turn.
+
+    State is per-key and tiny (two longs), so 10^9 convs hold in the
+    state store; batches arrive Arrow-vectorized.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    timeout = cfg.visit_timeout_s
+    out_schema = ("conv_id string, turn_idx int, ts timestamp,"
+                  " is_new_session boolean, session_seq long")
+    state_schema = "last_ts long, sessions long"
+
+    def fn(key, pdfs, state: GroupState):
+        last_ts, sessions = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs))
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["ts", "turn_idx"])
+        es = rows["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+        prev = np.concatenate(
+            ([last_ts if last_ts is not None else np.iinfo("int64").min],
+             es[:-1]))
+        is_new = (es - prev) >= timeout
+        if last_ts is None:
+            is_new[0] = True
+        seq = sessions + np.cumsum(is_new)
+        state.update((int(es[-1]), int(seq[-1])))
+        out = rows[["conv_id", "turn_idx", "ts"]].copy()
+        out["is_new_session"] = is_new
+        out["session_seq"] = seq
+        yield out
+
+    return (stream
+            .select("conv_id", "turn_idx",
+                    F.col("ts").cast("timestamp").alias("ts"))
+            .groupBy("conv_id")
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.NoTimeout))
