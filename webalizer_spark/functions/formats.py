@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from webalizer_spark.functions.grok import GROK_FIELDS, MASTER_PATTERN, _US
+from webalizer_spark.functions.scalars import sanitize
 
 SQUID_PATTERN = (
     r"^(\d+)\.(\d{3})\s+(\d+) (\S+) (\S+)/(\d{3}) (\d+) (\S+) (\S+) (\S+).*$"
@@ -178,7 +179,8 @@ def _pack_w3c(text: Column, fields: Sequence[str]) -> Column:
 
 def apply_grok_multi(df: DataFrame, text_col: str = "text",
                      format_col: str | None = None,
-                     w3c_fields: Sequence[str] | None = None) -> DataFrame:
+                     w3c_fields: Sequence[str] | None = None,
+                     max_field_len: int | None = None) -> DataFrame:
     """Format-dispatched grok: adds `log_format` + the canonical
     GROK_FIELDS raw columns. Each format's regex runs only on its rows
     (the when() ladder short-circuits), all JVM-side.
@@ -188,7 +190,18 @@ def apply_grok_multi(df: DataFrame, text_col: str = "text",
     directive rows ('#...') always yield NULL fields — the caller skips
     them like the reference does [parser.c: directives are neither hits
     nor errors].
+
+    PLAN NOTE: format detection runs on the RAW text head (cheap rlikes
+    over 40 chars) while sanitize (max_field_len) nests INSIDE the pack
+    branches. Sanitizing in a prior projection looks cleaner but
+    CollapseProject merges it into the detection projection and the
+    full-text regex then evaluates TWICE per row (measured in the plan);
+    nested in the exclusive when() branches it runs exactly once. The
+    output `text` column stays the raw line — the errors sink preserves
+    the original bytes, like the reference's Debug dump.
     """
+    src = (sanitize(F.col(text_col), max_field_len)
+           if max_field_len else F.col(text_col))
     if format_col:
         fmt = F.col(format_col)
     else:
@@ -198,18 +211,18 @@ def apply_grok_multi(df: DataFrame, text_col: str = "text",
     tagged = df.withColumn("log_format", fmt)
     ladder = (
         F.when(F.col("log_format") == "squid",
-               _pack(F.col(text_col), SQUID_PATTERN, _SQUID_MAP))
+               _pack(src, SQUID_PATTERN, _SQUID_MAP))
         .when(F.col("log_format") == "xferlog",
-              _pack(F.col(text_col), XFERLOG_PATTERN, _XFERLOG_MAP))
+              _pack(src, XFERLOG_PATTERN, _XFERLOG_MAP))
     )
     if w3c_fields is not None:
         ladder = ladder.when(
             (F.col("log_format") == "w3c")
             & ~F.col(text_col).startswith("#"),
-            _pack_w3c(F.col(text_col), w3c_fields))
+            _pack_w3c(src, w3c_fields))
     packed = ladder.otherwise(
-        F.when(F.col("log_format") == "w3c", F.col(text_col))  # no mapping
-        .otherwise(_pack(F.col(text_col), MASTER_PATTERN, _COMBINED_MAP)))
+        F.when(F.col("log_format") == "w3c", src)  # no field mapping
+        .otherwise(_pack(src, MASTER_PATTERN, _COMBINED_MAP)))
     with_parts = tagged.withColumn("_parts", F.split(packed, _US, -1))
     return with_parts.select(
         *tagged.columns,

@@ -95,14 +95,16 @@ def parse_transcripts_multi(
         w3c_field_order,
     )
 
-    clean = df.withColumn("text", sanitize(F.col("text"), cfg.max_field_len))
     if w3c_fields is None and auto_w3c:
         # one metadata-cheap pass over directive rows only
         try:
-            w3c_fields = w3c_field_order(clean)
+            w3c_fields = w3c_field_order(df)
         except ValueError:
             w3c_fields = None  # no w3c data in this table
-    raw = apply_grok_multi(clean, "text", format_col, w3c_fields)
+    # sanitize nests inside the grok branches (see apply_grok_multi plan
+    # note) — exactly one full-text regex eval per row
+    raw = apply_grok_multi(df, "text", format_col, w3c_fields,
+                           max_field_len=cfg.max_field_len)
     if drop_directives:
         raw = raw.filter(~F.col("text").startswith("#"))
     fmt = F.col("log_format")
