@@ -197,3 +197,35 @@ def test_jaccard_candidates_first_matches_all_pairs(spark):
                      allp.join(cand, ["doc_a", "doc_b"], "left_semi")
                      .collect()))
     assert got == ref and len(got) == 3
+
+
+def test_simhash_pairs_blocking_is_lossless(spark, docs):
+    """Pigeonhole blocking (4 blocks, max_hamming 2 < 4) must return
+    exactly the all-pairs Hamming result — candidates may be a superset,
+    never a lossy subset."""
+    from webalizer_spark.operators.dedup import simhash_pairs
+
+    sig = simhash(shingles(docs), bits=16).cache()
+    blocked = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in simhash_pairs(sig, max_hamming=2).collect()}
+    a = sig.select(F.col("doc_id").alias("doc_a"),
+                   F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("sb"))
+    naive = {(r["doc_a"], r["doc_b"], r["h"]) for r in
+             a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+             .withColumn("h", F.bit_count(F.expr("sa ^ sb")).cast("int"))
+             .filter(F.col("h") <= 2)
+             .select("doc_a", "doc_b", "h").collect()}
+    assert blocked == naive and (7, 100007, 0) in blocked
+    sig.unpersist()
+
+
+def test_simhash_pairs_param_validation(spark):
+    from webalizer_spark.operators.dedup import simhash_pairs
+
+    sig = spark.createDataFrame([(1, 3)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(sig, max_hamming=4, n_blocks=4)
+    with pytest.raises(ValueError, match="evenly"):
+        simhash_pairs(sig, bits=10, n_blocks=4)

@@ -149,6 +149,46 @@ def simhash(sh: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFrame:
         F.sum(bit).cast("bigint").alias("simhash"))
 
 
+def simhash_pairs(sig: DataFrame, max_hamming: int = 2, bits: int = 16,
+                  n_blocks: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale shape: pigeonhole blocking — split the fingerprint into
+    n_blocks equal bit-blocks; any pair within Hamming distance
+    max_hamming <= n_blocks - 1 must agree on at least one whole block,
+    so candidates come from an equi-join on (block_idx, block_value)
+    instead of an all-pairs cross join, and the exact bit_count(xor)
+    predicate verifies each candidate. Lossless for max_hamming <
+    n_blocks (pigeonhole), so results equal the all-pairs definition —
+    which is exactly what the DuckDB oracle computes (doc_simhash_pairs).
+    """
+    if max_hamming >= n_blocks:
+        raise ValueError("pigeonhole blocking needs max_hamming < n_blocks")
+    if bits % n_blocks:
+        raise ValueError("bits must divide evenly into n_blocks")
+    bw = bits // n_blocks
+    mask = (1 << bw) - 1
+    spark = sig.sparkSession
+    blk = spark.range(n_blocks).select(F.col("id").cast("int").alias("blk"))
+    keys = (sig.crossJoin(F.broadcast(blk))
+            .withColumn("bval",
+                        F.expr(f"shiftright(simhash, blk * {bw}) & {mask}"))
+            .select(id_col, "simhash", "blk", "bval"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.bval") == F.col("b.bval"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    ham = F.bit_count(F.expr("sh_a ^ sh_b")).cast("int")
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
 def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components over (doc_a, doc_b) edges via iterative
     min-label propagation: each round is one join + one groupBy; rounds

@@ -1066,6 +1066,234 @@ def evt_approx_distinct(spark, sf):
     )
 
 
+# =========================================================================
+# round-2 additions: near-dup connected components, SimHash pairs, and the
+# ANN scale paths get full DuckDB-oracle rows (previously pytest-only)
+# =========================================================================
+
+# Shared CC oracle body: LSH candidates -> exact Jaccard verify (>= 0.9)
+# -> transitive closure (recursive CTE, UNION-deduped) -> min-label per
+# vertex. Mirrors dedup.near_dup_remove's stage chain exactly.
+_DUP_CC_CTE = """
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+seeds AS (SELECT unnest(range(8)) AS seed),
+sig AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed, CAST(seed // 2 AS INT) AS band,
+         MIN(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || tok),
+                                  1, 15)) AS BIGINT)) AS minhash
+  FROM toks CROSS JOIN seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN toks a ON a.doc_id = c.doc_a
+  JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+),
+sym AS (SELECT doc_a AS v, doc_b AS u FROM verified
+        UNION ALL
+        SELECT doc_b, doc_a FROM verified),
+reach(v, u) AS (
+  SELECT v, u FROM sym
+  UNION
+  SELECT r.v, s.u FROM reach r JOIN sym s ON r.u = s.v
+),
+labels AS (
+  SELECT v, LEAST(v, MIN(u)) AS label FROM reach GROUP BY v
+)
+"""
+
+
+def _dup_edges(spark, sf):
+    """Verified near-dup edges: MinHash->LSH candidates, Jaccard >= 0.9."""
+    from webalizer_spark.operators import dedup as D
+    d = _t(spark, sf, "documents")
+    sh = D.shingles(d, "text", 1, "doc_id")
+    cand = D.lsh_candidate_pairs(
+        D.minhash_signatures(sh, 8, "doc_id"), 2, "doc_id")
+    return D.jaccard_pairs(sh, 0.9, "doc_id", candidates=cand)
+
+
+@q("doc_dup_components", _DUP_CC_CTE + """
+SELECT v, label FROM labels
+""")
+def doc_dup_components(spark, sf):
+    """Near-dup connected components: min-label propagation over the
+    LSH-candidate + Jaccard-verified edge set. Chains A~B~C where A~C
+    was never a candidate pair collapse transitively — the property the
+    greedy pairwise drop lacks. The DuckDB twin computes the SAME
+    closure via a recursive CTE, so the iterative join+groupBy rounds
+    (dedup.connected_min_label) are verified against an independent
+    fixpoint implementation, not just against themselves."""
+    from webalizer_spark.operators.dedup import connected_min_label
+    edges = _dup_edges(spark, sf).select("doc_a", "doc_b")
+    return connected_min_label(edges)
+
+
+@q("doc_near_dup_keep", _DUP_CC_CTE + """
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT v FROM labels WHERE label <> v)
+""")
+def doc_near_dup_keep(spark, sf):
+    """End-to-end near-dup removal (the LLM-corpus dedup op): keep
+    exactly the minimum-id member of every dup component plus all
+    non-dup docs. Exercises dedup.near_dup_remove whole — shingle ->
+    MinHash -> LSH banding -> candidates-first Jaccard -> connected
+    components -> anti-join — against one independent SQL derivation."""
+    from webalizer_spark.operators.dedup import near_dup_remove
+    d = _t(spark, sf, "documents")
+    return near_dup_remove(d, "text", "doc_id", threshold=0.9,
+                           num_hashes=8, rows_per_band=2) \
+        .select("doc_id", "source")
+
+
+@q("doc_simhash_pairs", _TOKS_CTE + """
+, h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS th
+  FROM toks
+), bits AS (
+  SELECT doc_id, b.j, SUM(2 * ((th >> b.j) & 1) - 1) AS w
+  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j) b
+  GROUP BY doc_id, b.j
+), sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN w >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""")
+def doc_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs (Hamming <= 2 over 16-bit fingerprints).
+
+    The engine runs the SCALE shape — pigeonhole blocking on 4-bit
+    blocks (equi-join candidates, then exact bit_count(xor) verify,
+    lossless for max_hamming < n_blocks) — while the oracle computes the
+    naive all-pairs definition; equal results prove the blocking loses
+    nothing."""
+    from webalizer_spark.operators.dedup import simhash, simhash_pairs
+    sh = simhash(_doc_tokens(spark, sf).withColumnRenamed("tok", "shingle"),
+                 bits=16, id_col="doc_id")
+    return simhash_pairs(sh, max_hamming=2, bits=16, n_blocks=4,
+                         id_col="doc_id")
+
+
+_BF_TOPK_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cos
+FROM r WHERE rank <= 5
+"""
+
+
+@q("emb_ivf_topk", _BF_TOPK_SQL)
+def emb_ivf_topk(spark, sf):
+    """IVF ANN top-k through the full inverted-file plan — sampled
+    spherical k-means centroids, corpus-to-cell assignment, per-query
+    cell probing, exact ranking within probed cells — run with
+    n_probe == n_cells, where IVF's semantics degenerate to exact
+    search by construction, so the brute-force SQL is a valid oracle
+    for the whole physical path (centroid join + cell equi-join +
+    ranking window). Partial-probe recall is asserted separately in
+    tests/test_dedup_similarity.py."""
+    from webalizer_spark.operators.similarity import ivf_topk
+    e = _t(spark, sf, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 10), k=5,
+                    n_cells=8, n_probe=8)
+
+
+@q("emb_ann_topk", """
+WITH dims AS (SELECT unnest(range(64)) AS i),
+tp AS (SELECT CAST(x % 4 AS INT) AS j, CAST(x // 4 AS INT) AS t
+       FROM (SELECT unnest(range(32)) AS x)),
+w AS (
+  SELECT t, j, i,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(t AS VARCHAR) || '|'
+                                        || CAST(j AS VARCHAR) || '|'
+                                        || CAST(i AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS wt
+  FROM tp, dims
+),
+proj AS (
+  SELECT e.vec_id, w.t, w.j,
+         SUM(CAST(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt
+                  AS DECIMAL(18,12))) AS p
+  FROM embeddings e, w GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN p >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.t = c.t AND q.sig = c.sig
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+pairs AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cos
+FROM r WHERE rank <= 5
+""")
+def emb_ann_topk(spark, sf):
+    """Multi-table hyperplane-LSH ANN top-k END-TO-END (8 tables x 4
+    planes): signature equi-join candidates unioned across tables, exact
+    cosine ranking within candidates. The oracle re-derives the SAME
+    candidate set and ranking in SQL — so the ANN scale path itself is
+    bit-checked, not merely recall-bounded vs brute force."""
+    from webalizer_spark.operators.similarity import ann_topk
+    e = _t(spark, sf, "embeddings")
+    return ann_topk(e, e.filter(F.col("vec_id") < 10), k=5,
+                    num_planes=4, num_tables=8, dim=64)
+
+
 # register the synthesized-transcript oracle family (tr2_*) — import at
 # module bottom so every consumer of QUERIES/ORACLE sees them; safe:
 # queries_synth only needs q/_t, which are defined above
