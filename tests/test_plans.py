@@ -101,3 +101,39 @@ def test_errors_sink_join_adaptive(spark, transcripts, dims):
             else:
                 spark.conf.set(c, v)
     assert n_bcast == n_shuffle
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    """The pigeonhole-blocked candidate join must plan as an equi-join on
+    (block, value) — never a cartesian/all-pairs product."""
+    from webalizer_spark.operators.dedup import shingles, simhash, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = simhash_pairs(simhash(shingles(docs), bits=16))
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_candidates_equi_join_no_cartesian(spark):
+    """ANN candidate generation is a (table, signature) equi-join with the
+    query side broadcast; corpus-vs-query must never cross-join."""
+    from webalizer_spark.operators.similarity import ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=3,
+                   num_planes=4, num_tables=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_probe_join_no_cartesian(spark):
+    """IVF probing joins corpus cells to query probes on cell_id (query
+    side broadcast); only the tiny centroid dim may nested-loop."""
+    from webalizer_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3,
+                   n_cells=4, n_probe=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
