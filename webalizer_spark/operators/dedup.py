@@ -191,9 +191,13 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 2, bits: int = 16,
 
 def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components over (doc_a, doc_b) edges via iterative
-    min-label propagation: each round is one join + one groupBy; rounds
-    needed = component diameter (dup chains are shallow). Returns
-    (v, label) where label = min doc id of v's component. Deterministic.
+    min-label propagation with pointer jumping: each round propagates
+    labels across edges (join + groupBy) AND short-circuits each label
+    to its label's label, so remaining chain depth HALVES per round —
+    O(log diameter) rounds, not O(diameter). Long dup chains at corpus
+    scale converge in a handful of shuffles. Returns (v, label) where
+    label = min doc id of v's component. Deterministic; oracle-checked
+    against a DuckDB recursive-CTE closure (doc_dup_components).
 
     localCheckpoint each round truncates lineage so the plan does not
     grow exponentially; only the (tiny) dup-subgraph vertices iterate —
@@ -210,9 +214,18 @@ def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         neigh = (sym.join(labels.select(F.col("v").alias("u"),
                                         F.col("label").alias("ulabel")), "u")
                  .groupBy("v").agg(F.min("ulabel").alias("nlabel")))
-        new_labels = (labels.join(neigh, "v", "left")
+        prop = (labels.join(neigh, "v", "left")
+                .select("v", F.least(
+                    "label", F.coalesce("nlabel", F.col("label"))
+                ).alias("label")))
+        # pointer jumping: label <- label(label). Every label is itself
+        # a vertex id (labels only ever take vertex values), so the
+        # self-join always resolves; left join guards the fixpoint rows.
+        jump = prop.select(F.col("v").alias("label"),
+                           F.col("label").alias("label2"))
+        new_labels = (prop.join(jump, "label", "left")
                       .select("v", F.least(
-                          "label", F.coalesce("nlabel", F.col("label"))
+                          "label", F.coalesce("label2", F.col("label"))
                       ).alias("label"))
                       .localCheckpoint(eager=True))
         changed = (new_labels.join(
