@@ -361,3 +361,84 @@ def tr2_multi_format(spark, sf):
         F.col("turn_idx").cast("long").alias("event_id"),
         "log_format", "actor", "path", "status",
         "nbytes", "ts_text", "auth_user", "parse_ok")
+
+
+# ---------------------------------------------------------------------------
+# W3C #Fields:-driven oracle (the 4th S2 grammar; directive-defined order)
+# ---------------------------------------------------------------------------
+
+_W3C_FIELDS = ("date time c-ip cs-username cs-method cs-uri-stem "
+               "sc-status sc-bytes cs(User-Agent)")
+
+
+def _synth_w3c(spark, sf):
+    """events -> W3C extended-log rows + ONE #Fields: directive row.
+
+    The directive is data, not config: parse_transcripts_multi reads the
+    field order from the table itself [parser.c ƒparse_record_w3c], so
+    this synthesizes the reference's real input shape (directive line
+    preceding space-separated data rows)."""
+    import datetime
+
+    ev = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ts = F.date_trunc("second", F.col("ts"))
+    status = (F.when(F.col("event_type") == "error", F.lit(400) + eid % 5)
+              .otherwise(F.lit(200) + (eid % 2) * 100)).cast("int")
+    nbytes = F.floor(F.col("value") * 100).cast("long")
+    user = F.when(uid % 10 == 0, F.lit("-")).otherwise(
+        F.concat(F.lit("u"), s(uid % 50)))
+    line = F.concat_ws(
+        " ",
+        F.date_format(ts, "yyyy-MM-dd"), F.date_format(ts, "HH:mm:ss"),
+        F.concat(F.lit("user"), s(uid)), user,
+        F.when(eid % 2 == 0, F.lit("GET")).otherwise(F.lit("POST")),
+        F.concat(F.lit("/"), F.col("event_type"), F.lit("/e"), s(eid % 100)),
+        s(status), s(nbytes),
+        F.concat(F.lit("tool"), s(eid % 4)))
+    rows = ev.select(
+        F.concat(F.lit("c"), s(eid % 1000)).alias("conv_id"),
+        eid.cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        line.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        ts.alias("ts"))
+    directive = spark.createDataFrame(
+        [("c-dir", -1, "user", "#Fields: " + _W3C_FIELDS, None,
+          datetime.datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    return rows.unionByName(directive)
+
+
+@q("tr2_w3c", """
+SELECT event_id,
+       'w3c' AS log_format,
+       'user' || user_id AS actor,
+       CASE WHEN user_id % 10 = 0 THEN NULL
+            ELSE 'u' || (user_id % 50) END AS auth_user,
+       CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS verb,
+       '/' || event_type || '/e' || (event_id % 100) AS path,
+       CAST(CASE WHEN event_type = 'error' THEN 400 + event_id % 5
+            ELSE 200 + (event_id % 2) * 100 END AS INT) AS status,
+       CAST(FLOOR(value * 100) AS BIGINT) AS nbytes,
+       date_trunc('second', ts) AS ts_text,
+       'tool' || (event_id % 4) AS agent_str,
+       TRUE AS parse_ok
+FROM events
+""")
+def tr2_w3c(spark, sf):
+    """S2 W3C oracle: the #Fields:-directive-driven parser end-to-end —
+    field order read from the directive ROW in the table, positional
+    split/element_at packing (no regex), date+time reassembly, '-' ->
+    NULL, directive rows skipped (neither hits nor errors). The oracle
+    re-derives every field from the same events source, so the
+    directive-driven mapping is hash-checked bit-exact."""
+    from webalizer_spark.operators.parse import parse_transcripts_multi
+
+    p = parse_transcripts_multi(_synth_w3c(spark, sf))
+    return p.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        "log_format", "actor", "auth_user", "verb", "path",
+        "status", "nbytes", "ts_text", "agent_str", "parse_ok")
