@@ -229,3 +229,25 @@ def test_simhash_pairs_param_validation(spark):
         simhash_pairs(sig, max_hamming=4, n_blocks=4)
     with pytest.raises(ValueError, match="evenly"):
         simhash_pairs(sig, bits=10, n_blocks=4)
+
+
+def test_emb_near_dup_lsh_drops_subset_of_allpairs(spark):
+    """Every id the LSH-path removal drops must belong to some all-pairs
+    near-dup pair (candidates may miss pairs, never invent them), and
+    kept + dropped partitions the corpus."""
+    from webalizer_spark.operators.similarity import (
+        near_dup_cosine,
+        near_dup_remove_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    kept = {r["vec_id"]
+            for r in near_dup_remove_lsh(emb, 0.45).select("vec_id").collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    dropped = all_ids - kept
+    pairs = near_dup_cosine(emb, 0.45).collect()
+    in_some_pair = ({r["vec_a"] for r in pairs}
+                    | {r["vec_b"] for r in pairs})
+    assert dropped <= in_some_pair
+    # min-id rule: the smallest id of any verified pair is never dropped
+    assert min(in_some_pair, default=0) in kept or not pairs

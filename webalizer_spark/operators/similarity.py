@@ -162,6 +162,41 @@ def near_dup_cosine(emb: DataFrame, threshold: float = 0.95,
             .select("vec_a", "vec_b", F.round("_c", 6).alias("cos")))
 
 
+def near_dup_remove_lsh(emb: DataFrame, threshold: float = 0.45,
+                        num_planes: int = 4, num_tables: int = 8,
+                        dim: int = 64, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Semantic near-dup removal END-TO-END at scale: multi-table
+    hyperplane-LSH bucket candidates -> exact cosine verify (only on
+    candidate pairs) -> connected components (min-label, pointer-jump)
+    -> keep exactly the minimum-id member of each dup component. The
+    scale twin of near_dup_cosine (the size-guarded all-pairs
+    baseline): the corpus never self-cross-joins — candidates come
+    from the (table, signature) equi-join, so the quadratic term is
+    bounded by bucket sizes. Oracle-checked bit-exact in queries.py
+    (emb_near_dup_keep, vs a recursive-CTE closure)."""
+    from webalizer_spark.operators.dedup import connected_min_label
+
+    sig = lsh_signatures(emb, num_planes, dim, id_col, vec_col, num_tables)
+    a = sig.select(F.col(id_col).alias("va"), F.col("t").alias("ta"),
+                   F.col("sig").alias("sa"))
+    b = sig.select(F.col(id_col).alias("vb"), F.col("t").alias("tb"),
+                   F.col("sig").alias("sb"))
+    cand = (a.join(b, (F.col("ta") == F.col("tb"))
+                   & (F.col("sa") == F.col("sb"))
+                   & (F.col("va") < F.col("vb")))
+            .select("va", "vb").distinct())
+    ea = emb.select(F.col(id_col).alias("va"), F.col(vec_col).alias("_ea"))
+    eb = emb.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("_eb"))
+    edges = (cand.join(ea, "va").join(eb, "vb")
+             .filter(cosine("_ea", "_eb") >= threshold)
+             .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b")))
+    comp = connected_min_label(edges)
+    drop = (comp.filter(F.col("label") != F.col("v"))
+            .select(F.col("v").alias(id_col)))
+    return emb.join(drop, id_col, "left_anti")
+
+
 def ivf_centroids(corpus: DataFrame, n_cells: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   sample_size: int = 1024, iters: int = 10) -> DataFrame:

@@ -1294,6 +1294,66 @@ def emb_ann_topk(spark, sf):
                     num_planes=4, num_tables=8, dim=64)
 
 
+@q("emb_near_dup_keep", """
+WITH RECURSIVE dims AS (SELECT unnest(range(64)) AS i),
+tp AS (SELECT CAST(x % 4 AS INT) AS j, CAST(x // 4 AS INT) AS t
+       FROM (SELECT unnest(range(32)) AS x)),
+w AS (
+  SELECT t, j, i,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(t AS VARCHAR) || '|'
+                                        || CAST(j AS VARCHAR) || '|'
+                                        || CAST(i AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS wt
+  FROM tp, dims
+),
+proj AS (
+  SELECT e.vec_id, w.t, w.j,
+         SUM(CAST(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt
+                  AS DECIMAL(18,12))) AS p
+  FROM embeddings e, w GROUP BY 1, 2, 3
+),
+sig AS (
+  SELECT vec_id, t,
+         CAST(SUM(CASE WHEN p >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS sig
+  FROM proj GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM sig a JOIN sig b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+edges AS (
+  SELECT va, vb FROM cand
+  JOIN embeddings ea ON ea.vec_id = va
+  JOIN embeddings eb ON eb.vec_id = vb
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= 0.45
+),
+sym AS (SELECT va AS v, vb AS u FROM edges
+        UNION ALL SELECT vb, va FROM edges),
+reach(v, u) AS (
+  SELECT v, u FROM sym
+  UNION
+  SELECT r.v, s.u FROM reach r JOIN sym s ON r.u = s.v
+),
+labels AS (SELECT v, LEAST(v, MIN(u)) AS label FROM reach GROUP BY v)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT v FROM labels WHERE label <> v)
+""")
+def emb_near_dup_keep(spark, sf):
+    """Semantic (embedding-cosine) near-dup removal END-TO-END on the
+    scale path: LSH bucket candidates -> cosine verify on candidates
+    only -> connected components -> keep min-id per component. The
+    all-pairs twin is emb_near_dup_cosine (baseline tier, size-guarded);
+    here the oracle re-derives candidates, verification and the
+    transitive closure independently in SQL."""
+    from webalizer_spark.operators.similarity import near_dup_remove_lsh
+    e = _t(spark, sf, "embeddings")
+    return near_dup_remove_lsh(e, threshold=0.45).select("vec_id")
+
+
 # register the synthesized-transcript oracle family (tr2_*) — import at
 # module bottom so every consumer of QUERIES/ORACLE sees them; safe:
 # queries_synth only needs q/_t, which are defined above
