@@ -251,3 +251,26 @@ def test_emb_near_dup_lsh_drops_subset_of_allpairs(spark):
     assert dropped <= in_some_pair
     # min-id rule: the smallest id of any verified pair is never dropped
     assert min(in_some_pair, default=0) in kept or not pairs
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's defining property: two docs sharing a token run of
+    length >= window + k - 1 (= 6 here) must share at least one
+    fingerprint, wherever the run sits in either doc."""
+    from webalizer_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token run
+    docs = spark.createDataFrame(
+        [(1, f"x y z {shared} p q"),
+         (2, f"{shared} r s t u v w"),
+         (3, "totally different tokens here none common at all")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(docs, k=3, window=4)
+    by_doc = {d: {r["fingerprint"] for r in rows} for d, rows in
+              ((i, fp.filter(F.col("doc_id") == i).collect()) for i in (1, 2, 3))}
+    assert by_doc[1] & by_doc[2], "shared 6-token run must collide"
+    assert not (by_doc[1] & by_doc[3])
+    # a doc shorter than window+k-1 grams yields no fingerprints, not an error
+    short = spark.createDataFrame([(9, "just four tokens here")],
+                                  "doc_id long, text string")
+    assert winnow_fingerprints(short, k=3, window=4).count() == 0

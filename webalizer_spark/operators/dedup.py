@@ -189,6 +189,49 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 2, bits: int = 16,
             .select("doc_a", "doc_b", "hamming"))
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
+                        content_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints [Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm]: hash every k-gram at its position,
+    slide a window of `window` consecutive k-gram hashes, select each
+    window's minimum (rightmost on ties, per the paper), dedupe. Any
+    shared substring of length >= window + k - 1 tokens is guaranteed
+    to contribute at least one common fingerprint — the local-copy
+    detection property plain content hashing lacks.
+
+    Spark shape: posexplode(k-grams) -> per-doc ordered window min
+    (rowsBetween 0..window-1) -> distinct. The per-doc window sorts by
+    position WITHIN doc partitions (one shuffle on doc_id, bounded by
+    doc length, never global). Deterministic md5-derived hashes ->
+    engine-portable; oracle-checked vs DuckDB window functions
+    (doc_winnow_fingerprints).
+    """
+    toks = F.split(F.col(content_col), " ")
+    n_grams = F.size(toks) - k + 1
+    idx = F.when(n_grams > 0, F.sequence(F.lit(0), n_grams - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        id_col,
+        F.posexplode(F.transform(idx, lambda i: F.array_join(
+            F.slice(toks, i + 1, k), " "))).alias("pos", "gram"))
+    hashed = grams.select(id_col, "pos", _hash64(F.col("gram")).alias("h"))
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(0, window - 1))
+    # rightmost-min tie-break: min over (h, -pos) structs picks the
+    # LARGEST pos among equal hashes (the paper's robust winnowing)
+    sel = hashed.withColumn(
+        "win_min", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))
+                         ).over(w))
+    # only full windows select (positions 0 .. n_grams - window)
+    counts = hashed.groupBy(id_col).agg(F.max("pos").alias("max_pos"))
+    return (sel.join(counts, id_col)
+            .filter(F.col("pos") <= F.col("max_pos") - window + 1)
+            .select(id_col, F.col("win_min.h").alias("fingerprint"),
+                    (-F.col("win_min.np")).cast("int").alias("at_pos"))
+            .distinct())
+
+
 def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Connected components over (doc_a, doc_b) edges via iterative
     min-label propagation with pointer jumping: each round propagates

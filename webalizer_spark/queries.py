@@ -1294,6 +1294,45 @@ def emb_ann_topk(spark, sf):
                     num_planes=4, num_tables=8, dim=64)
 
 
+@q("doc_winnow_fingerprints", """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i : i + 2], ' ') AS gram
+  FROM docs, unnest(range(1, greatest(len(toks) - 3 + 2, 1))) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS h
+  FROM grams
+),
+counts AS (SELECT doc_id, MAX(pos) AS max_pos FROM hashed GROUP BY doc_id),
+sel AS (
+  SELECT doc_id, pos,
+         min({'h': h, 'np': -pos}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+  FROM hashed
+)
+SELECT DISTINCT s.doc_id,
+       struct_extract(s.wm, 'h') AS fingerprint,
+       CAST(-struct_extract(s.wm, 'np') AS INT) AS at_pos
+FROM sel s JOIN counts c ON c.doc_id = s.doc_id
+WHERE s.pos <= c.max_pos - 4 + 1
+""")
+def doc_winnow_fingerprints(spark, sf):
+    """Winnowing fingerprints (k=3-gram rolling hashes, window=4,
+    rightmost-min selection — the MOSS local-copy-detection algorithm):
+    any shared run of >= window+k-1 tokens between two docs contributes
+    at least one COMMON fingerprint, which whole-document hashing
+    (doc_fingerprint) cannot offer. The oracle re-derives the sliding
+    window minimum with DuckDB window functions over an independent
+    k-gram expansion."""
+    from webalizer_spark.operators.dedup import winnow_fingerprints
+    d = _t(spark, sf, "documents")
+    return winnow_fingerprints(d, k=3, window=4)
+
+
 @q("emb_near_dup_keep", """
 WITH RECURSIVE dims AS (SELECT unnest(range(64)) AS i),
 tp AS (SELECT CAST(x % 4 AS INT) AS j, CAST(x // 4 AS INT) AS t
