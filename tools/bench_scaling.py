@@ -35,39 +35,22 @@ from __future__ import annotations
 
 import argparse
 import json
-import multiprocessing
 import os
 import statistics
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def _burn(q, seconds: float) -> None:
-    t0 = time.time()
-    x = n = 0
-    while time.time() - t0 < seconds:
-        for _ in range(100_000):
-            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
-        n += 1
-    q.put(n)
+from probe_host import _burn_cpu, run as _probe_run  # noqa: E402
 
 
 def cpu_ceiling(low: int, high: int, seconds: float = 6.0) -> dict:
     """Measure deliverable CPU at `low` and `high` parallel busy-loop
-    processes; their ratio bounds any job's low->high scaling here."""
-    work = {}
-    for nt in (low, high):
-        q = multiprocessing.Queue()
-        ps = [multiprocessing.Process(target=_burn, args=(q, seconds))
-              for _ in range(nt)]
-        for p in ps:
-            p.start()
-        work[nt] = sum(q.get() for _ in ps)
-        for p in ps:
-            p.join()
+    processes (probe_host's probe); their ratio bounds any job's
+    low->high scaling here."""
+    work = {nt: _probe_run(_burn_cpu, nt, seconds) for nt in (low, high)}
     ceiling = (work[high] / work[low]) / (high / low)
     return {"work_low": work[low], "work_high": work[high],
             "ceiling": round(ceiling, 4)}

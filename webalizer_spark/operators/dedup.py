@@ -246,10 +246,14 @@ def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     grow exponentially; only the (tiny) dup-subgraph vertices iterate —
     the corpus itself never enters the loop.
     """
+    # materialize the symmetrized edge list ONCE: edges may be an
+    # expensive plan (for near_dup_remove_lsh it is the whole LSH
+    # candidate join + cosine verify) and every round references sym
     sym = (edges.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
            .unionByName(
                edges.select(F.col("doc_b").alias("v"),
-                            F.col("doc_a").alias("u"))))
+                            F.col("doc_a").alias("u")))
+           .localCheckpoint(eager=True))
     labels = (sym.select("v").distinct()
               .withColumn("label", F.col("v"))
               .localCheckpoint(eager=True))
@@ -257,10 +261,15 @@ def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         neigh = (sym.join(labels.select(F.col("v").alias("u"),
                                         F.col("label").alias("ulabel")), "u")
                  .groupBy("v").agg(F.min("ulabel").alias("nlabel")))
+        # checkpoint prop before self-joining it: jump references prop
+        # twice, and without the barrier the whole propagation subtree
+        # would execute twice per round (optimizer reuse is not
+        # guaranteed across the join)
         prop = (labels.join(neigh, "v", "left")
                 .select("v", F.least(
                     "label", F.coalesce("nlabel", F.col("label"))
-                ).alias("label")))
+                ).alias("label"))
+                .localCheckpoint(eager=True))
         # pointer jumping: label <- label(label). Every label is itself
         # a vertex id (labels only ever take vertex values), so the
         # self-join always resolves; left join guards the fixpoint rows.
@@ -280,6 +289,18 @@ def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     return labels
 
 
+def drop_non_min_members(df: DataFrame, edges: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Shared dedup tail (used by near_dup_remove here and
+    similarity.near_dup_remove_lsh): connected components over the
+    verified (doc_a, doc_b) edges, then drop every row whose vertex is
+    not its component's minimum id."""
+    comp = connected_min_label(edges)
+    drop = (comp.filter(F.col("label") != F.col("v"))
+            .select(F.col("v").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")
+
+
 def near_dup_remove(df: DataFrame, content_col: str = "text",
                     id_col: str = "doc_id", threshold: float = 0.9,
                     num_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
@@ -292,7 +313,4 @@ def near_dup_remove(df: DataFrame, content_col: str = "text",
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes, id_col), rows_per_band, id_col)
     dup = jaccard_pairs(sh, threshold, id_col, candidates=cand)
-    comp = connected_min_label(dup.select("doc_a", "doc_b"))
-    drop = (comp.filter(F.col("label") != F.col("v"))
-            .select(F.col("v").alias(id_col)))
-    return df.join(drop, id_col, "left_anti")
+    return drop_non_min_members(df, dup.select("doc_a", "doc_b"), id_col)

@@ -175,7 +175,7 @@ def near_dup_remove_lsh(emb: DataFrame, threshold: float = 0.45,
     from the (table, signature) equi-join, so the quadratic term is
     bounded by bucket sizes. Oracle-checked bit-exact in queries.py
     (emb_near_dup_keep, vs a recursive-CTE closure)."""
-    from webalizer_spark.operators.dedup import connected_min_label
+    from webalizer_spark.operators.dedup import drop_non_min_members
 
     sig = lsh_signatures(emb, num_planes, dim, id_col, vec_col, num_tables)
     a = sig.select(F.col(id_col).alias("va"), F.col("t").alias("ta"),
@@ -191,10 +191,7 @@ def near_dup_remove_lsh(emb: DataFrame, threshold: float = 0.45,
     edges = (cand.join(ea, "va").join(eb, "vb")
              .filter(cosine("_ea", "_eb") >= threshold)
              .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b")))
-    comp = connected_min_label(edges)
-    drop = (comp.filter(F.col("label") != F.col("v"))
-            .select(F.col("v").alias(id_col)))
-    return emb.join(drop, id_col, "left_anti")
+    return drop_non_min_members(emb, edges, id_col)
 
 
 def ivf_centroids(corpus: DataFrame, n_cells: int = 16,

@@ -707,7 +707,9 @@ def emb_norms_by_label(spark, sf):
     )
 
 
-@q("emb_cosine_topk", """
+# Brute-force top-k oracle, shared by emb_cosine_topk (the exact
+# baseline) and emb_ivf_topk (IVF at exhaustive probe == exact search)
+_BF_TOPK_SQL = """
 WITH pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -721,7 +723,10 @@ WITH pairs AS (
 )
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cos
 FROM r WHERE rank <= 5
-""")
+"""
+
+
+@q("emb_cosine_topk", _BF_TOPK_SQL)
 def emb_cosine_topk(spark, sf):
     """Brute-force cosine top-k: the exact ANN baseline.
 
@@ -1071,6 +1076,20 @@ def evt_approx_distinct(spark, sf):
 # ANN scale paths get full DuckDB-oracle rows (previously pytest-only)
 # =========================================================================
 
+# Transitive-closure (connected components) oracle tail, shared by the
+# doc-side (_DUP_CC_CTE) and embedding-side (emb_near_dup_keep) dedup
+# oracles — one place defines the closure/min-label convention
+_CLOSURE_CTE = """sym AS (SELECT {a} AS v, {b} AS u FROM {edges}
+        UNION ALL
+        SELECT {b}, {a} FROM {edges}),
+reach(v, u) AS (
+  SELECT v, u FROM sym
+  UNION
+  SELECT r.v, s.u FROM reach r JOIN sym s ON r.u = s.v
+),
+labels AS (SELECT v, LEAST(v, MIN(u)) AS label FROM reach GROUP BY v)"""
+
+
 # Shared CC oracle body: LSH candidates -> exact Jaccard verify (>= 0.9)
 # -> transitive closure (recursive CTE, UNION-deduped) -> min-label per
 # vertex. Mirrors dedup.near_dup_remove's stage chain exactly.
@@ -1111,18 +1130,7 @@ verified AS (
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
 ),
-sym AS (SELECT doc_a AS v, doc_b AS u FROM verified
-        UNION ALL
-        SELECT doc_b, doc_a FROM verified),
-reach(v, u) AS (
-  SELECT v, u FROM sym
-  UNION
-  SELECT r.v, s.u FROM reach r JOIN sym s ON r.u = s.v
-),
-labels AS (
-  SELECT v, LEAST(v, MIN(u)) AS label FROM reach GROUP BY v
-)
-"""
+""" + _CLOSURE_CTE.format(edges="verified", a="doc_a", b="doc_b") + "\n"
 
 
 def _dup_edges(spark, sf):
@@ -1203,23 +1211,6 @@ def doc_simhash_pairs(spark, sf):
                          id_col="doc_id")
 
 
-_BF_TOPK_SQL = """
-WITH pairs AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                CAST(b.embedding AS DOUBLE[])) AS cos
-  FROM embeddings a, embeddings b
-  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
-), r AS (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM pairs
-)
-SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(cos, 6) AS cos
-FROM r WHERE rank <= 5
-"""
-
-
 @q("emb_ivf_topk", _BF_TOPK_SQL)
 def emb_ivf_topk(spark, sf):
     """IVF ANN top-k through the full inverted-file plan — sampled
@@ -1236,8 +1227,11 @@ def emb_ivf_topk(spark, sf):
                     n_cells=8, n_probe=8)
 
 
-@q("emb_ann_topk", """
-WITH dims AS (SELECT unnest(range(64)) AS i),
+# Multi-table hyperplane-LSH signature CTE (8 tables x 4 planes),
+# shared by emb_ann_topk and emb_near_dup_keep — MUST stay bit-identical
+# to operators/similarity.lsh_signatures' md5(t|j|i) seeding, so the
+# convention lives in exactly one SQL constant
+_LSH_SIG_CTE = """dims AS (SELECT unnest(range(64)) AS i),
 tp AS (SELECT CAST(x % 4 AS INT) AS j, CAST(x // 4 AS INT) AS t
        FROM (SELECT unnest(range(32)) AS x)),
 w AS (
@@ -1260,7 +1254,10 @@ sig AS (
          CAST(SUM(CASE WHEN p >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
               AS BIGINT) AS sig
   FROM proj GROUP BY vec_id, t
-),
+)"""
+
+
+@q("emb_ann_topk", "WITH " + _LSH_SIG_CTE + """,
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM sig q JOIN sig c ON q.t = c.t AND q.sig = c.sig
@@ -1333,31 +1330,7 @@ def doc_winnow_fingerprints(spark, sf):
     return winnow_fingerprints(d, k=3, window=4)
 
 
-@q("emb_near_dup_keep", """
-WITH RECURSIVE dims AS (SELECT unnest(range(64)) AS i),
-tp AS (SELECT CAST(x % 4 AS INT) AS j, CAST(x // 4 AS INT) AS t
-       FROM (SELECT unnest(range(32)) AS x)),
-w AS (
-  SELECT t, j, i,
-         CASE WHEN CAST(('0x' || substr(md5(CAST(t AS VARCHAR) || '|'
-                                        || CAST(j AS VARCHAR) || '|'
-                                        || CAST(i AS VARCHAR)), 1, 8))
-                   AS BIGINT) % 2 = 0
-              THEN 1.0 ELSE -1.0 END AS wt
-  FROM tp, dims
-),
-proj AS (
-  SELECT e.vec_id, w.t, w.j,
-         SUM(CAST(CAST(e.embedding[w.i + 1] AS DOUBLE) * w.wt
-                  AS DECIMAL(18,12))) AS p
-  FROM embeddings e, w GROUP BY 1, 2, 3
-),
-sig AS (
-  SELECT vec_id, t,
-         CAST(SUM(CASE WHEN p >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
-              AS BIGINT) AS sig
-  FROM proj GROUP BY vec_id, t
-),
+@q("emb_near_dup_keep", "WITH RECURSIVE " + _LSH_SIG_CTE + """,
 cand AS (
   SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
   FROM sig a JOIN sig b
@@ -1370,14 +1343,7 @@ edges AS (
   WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                CAST(eb.embedding AS DOUBLE[])) >= 0.45
 ),
-sym AS (SELECT va AS v, vb AS u FROM edges
-        UNION ALL SELECT vb, va FROM edges),
-reach(v, u) AS (
-  SELECT v, u FROM sym
-  UNION
-  SELECT r.v, s.u FROM reach r JOIN sym s ON r.u = s.v
-),
-labels AS (SELECT v, LEAST(v, MIN(u)) AS label FROM reach GROUP BY v)
+""" + _CLOSURE_CTE.format(edges="edges", a="va", b="vb") + """
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (SELECT v FROM labels WHERE label <> v)
 """)
