@@ -1291,7 +1291,10 @@ def emb_ann_topk(spark, sf):
                     num_planes=4, num_tables=8, dim=64)
 
 
-@q("doc_winnow_fingerprints", """
+# Winnowing k-gram/window/hash derivation, shared by the fingerprint
+# and copy-detection oracles (k=3, window=4 — keep in sync with the
+# Spark-side winnow_fingerprints defaults used in both queries)
+_WINNOW_CTE = """
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 grams AS (
   SELECT doc_id, i - 1 AS pos,
@@ -1310,12 +1313,19 @@ sel AS (
              PARTITION BY doc_id ORDER BY pos
              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
   FROM hashed
+),
+fp AS (
+  SELECT DISTINCT s.doc_id,
+         struct_extract(s.wm, 'h') AS fingerprint,
+         CAST(-struct_extract(s.wm, 'np') AS INT) AS at_pos
+  FROM sel s JOIN counts c ON c.doc_id = s.doc_id
+  WHERE s.pos <= c.max_pos - 4 + 1
 )
-SELECT DISTINCT s.doc_id,
-       struct_extract(s.wm, 'h') AS fingerprint,
-       CAST(-struct_extract(s.wm, 'np') AS INT) AS at_pos
-FROM sel s JOIN counts c ON c.doc_id = s.doc_id
-WHERE s.pos <= c.max_pos - 4 + 1
+"""
+
+
+@q("doc_winnow_fingerprints", _WINNOW_CTE + """
+SELECT doc_id, fingerprint, at_pos FROM fp
 """)
 def doc_winnow_fingerprints(spark, sf):
     """Winnowing fingerprints (k=3-gram rolling hashes, window=4,
@@ -1328,6 +1338,33 @@ def doc_winnow_fingerprints(spark, sf):
     from webalizer_spark.operators.dedup import winnow_fingerprints
     d = _t(spark, sf, "documents")
     return winnow_fingerprints(d, k=3, window=4)
+
+
+@q("doc_winnow_pairs", _WINNOW_CTE + """
+, fpd AS (SELECT DISTINCT doc_id, fingerprint FROM fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS shared_fps
+FROM fpd a JOIN fpd b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+""")
+def doc_winnow_pairs(spark, sf):
+    """Copy detection via shared winnowing fingerprints: pairs of docs
+    sharing >= 3 selected fingerprints — the MOSS match step. Scale
+    shape: fingerprint equi-join (fingerprint-partitioned, like the
+    shingle join but over the winnowed ~1/window subsample, so the
+    self-join input is a fraction of the k-gram stream)."""
+    from webalizer_spark.operators.dedup import winnow_fingerprints
+    fp = (winnow_fingerprints(_t(spark, sf, "documents"), k=3, window=4)
+          .select("doc_id", "fingerprint").distinct())
+    a, b = fp.alias("a"), fp.alias("b")
+    return (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= 3))
 
 
 @q("emb_near_dup_keep", "WITH RECURSIVE " + _LSH_SIG_CTE + """,
