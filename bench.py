@@ -37,6 +37,8 @@ HEADLINE = [
     "doc_minhash_signatures",
     "emb_cosine_topk",
     "emb_lsh_buckets",
+    "emb_ann_topk",
+    "doc_winnow_fingerprints",
 ]
 
 
