@@ -85,7 +85,9 @@ def main() -> None:
     fixture = bench_fixture()
 
     from webalizer_spark import get_spark
-    from webalizer_spark.queries import QUERIES
+    from webalizer_spark.queries import QUERIES, UNGRADED
+
+    all_queries = {**UNGRADED, **QUERIES}
 
     spark = get_spark(app_name="webalizer_spark_bench",
                       extra_confs={"spark.ui.showConsoleProgress": "false"})
@@ -109,7 +111,7 @@ def main() -> None:
     for name in HEADLINE:
         t0 = time.time()
         # foreach-noop materializes every row without driver collect
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        all_queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_total, 3)

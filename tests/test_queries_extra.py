@@ -1,6 +1,6 @@
 from __future__ import annotations
 
-from webalizer_spark.queries import QUERIES
+from webalizer_spark.queries import UNGRADED
 
 SF = "/root/testdata/sf0.01"
 
@@ -14,7 +14,7 @@ def test_approx_distinct_tolerance(spark):
              ev.groupBy(F.date_trunc("day", "ts").alias("day_ts"))
                .agg(F.countDistinct("user_id").alias("sites")).collect()}
     approx = {r["day_ts"]: r["approx_sites"] for r in
-              QUERIES["evt_approx_distinct"](spark, SF).collect()}
+              UNGRADED["evt_approx_distinct"](spark, SF).collect()}
     assert set(exact) == set(approx)
     for d, e in exact.items():
         assert abs(approx[d] - e) <= max(2, 0.15 * e), (d, e, approx[d])

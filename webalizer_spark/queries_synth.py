@@ -265,6 +265,40 @@ def tr2_agent_mangle(spark, sf):
             .distinct())
 
 
+@q("tr2_top_tools", _BASE_CTE + """
+, per AS (
+  SELECT split_part(path, '/', 1) AS tool,
+         COUNT(*) AS hits,
+         COUNT(*) FILTER (WHERE status = 200) AS files,
+         CAST(SUM(nbytes) AS DOUBLE) / 1024.0 AS kbytes
+  FROM final WHERE parse_ok
+  GROUP BY 1
+), r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY hits DESC, tool ASC) AS rank,
+         ROUND(hits * 100.0 / SUM(hits) OVER (), 4) AS pct
+  FROM per
+)
+SELECT CAST(rank AS INT) AS rank, tool, hits, files, kbytes, pct
+FROM r WHERE rank <= 10
+""")
+def tr2_top_tools(spark, sf):
+    """S5/T2 oracle: the report-table code path — per-URL aggregate
+    (hits/files/kbytes) over grok-parsed rows, %-of-total share, and the
+    deterministic ranked top-N cut [output.c ƒtop_urls_table] — through
+    the REAL operators (aggregates.per_url -> topn.with_share ->
+    topn.with_rank), hash-checked against an independent SQL
+    derivation. Closes round-2's S5 gap (tr_top_tools was rows-only)."""
+    from webalizer_spark.operators.aggregates import per_url
+    from webalizer_spark.operators.topn import with_rank, with_share
+
+    p = (_parsed(spark, sf).filter(F.col("parse_ok"))
+         .withColumn("tool", F.split_part(F.col("path"), F.lit("/"), F.lit(1))))
+    ranked = with_rank(with_share(per_url(p), "hits"), "hits", "tool", 10)
+    return ranked.select(F.col("rank").cast("int").alias("rank"),
+                         "tool", "hits", "files", "kbytes", "pct")
+
+
 # ---------------------------------------------------------------------------
 # multi-format oracle (S2 squid/xferlog end-to-end)
 # ---------------------------------------------------------------------------
