@@ -229,6 +229,68 @@ def test_simhash_pairs_param_validation(spark):
         simhash_pairs(sig, max_hamming=4, n_blocks=4)
     with pytest.raises(ValueError, match="evenly"):
         simhash_pairs(sig, bits=10, n_blocks=4)
+    # bigint shiftright sign-extends past bit 63 -> block keys corrupt
+    with pytest.raises(ValueError, match="sign bit"):
+        simhash_pairs(sig, bits=64, n_blocks=4)
+
+
+@pytest.fixture(scope="module")
+def boilerplate(spark):
+    """1000 byte-identical docs (degenerate LSH/winnow/simhash buckets)
+    plus a handful of unrelated unique docs."""
+    rows = [(i, "the same boilerplate text repeated in every document "
+                "of this batch word for word") for i in range(1000)]
+    rows += [(2000 + i,
+              f"unique document number {i} with tokens a{i} b{i} c{i} "
+              f"d{i} e{i} f{i} g{i}") for i in range(4)]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+def test_hot_bucket_cap_lsh(spark, boilerplate, caplog):
+    """1000 identical docs share every band key -> ~500k candidate pairs
+    uncapped; the cap drops those buckets (logged) and the join stays
+    bounded. Unique docs are unaffected."""
+    import logging
+
+    sig = minhash_signatures(shingles(boilerplate), 8)
+    with caplog.at_level(logging.WARNING, logger="webalizer_spark.dedup"):
+        capped = lsh_candidate_pairs(sig, 2, max_bucket_size=50).count()
+    # boilerplate buckets dropped; only the 4 unique docs may still
+    # collide (they share a few common words), i.e. <= C(4,2) pairs
+    assert capped <= 6
+    assert any("hot bucket" in r.getMessage() for r in caplog.records)
+    # sanity: with a cap that nothing exceeds, exact semantics persist
+    assert lsh_candidate_pairs(sig, 2, max_bucket_size=10_000).count() \
+        == lsh_candidate_pairs(sig, 2).count()
+
+
+def test_hot_bucket_cap_simhash(spark, boilerplate, caplog):
+    import logging
+
+    from webalizer_spark.operators.dedup import simhash, simhash_pairs
+
+    sig = simhash(shingles(boilerplate), bits=16)
+    with caplog.at_level(logging.WARNING, logger="webalizer_spark.dedup"):
+        n = simhash_pairs(sig, max_hamming=2, max_block_freq=50).count()
+    assert n < 1000 * 999 / 2
+    assert any("simhash_pairs" in r.getMessage() for r in caplog.records)
+
+
+def test_hot_fingerprint_cap_winnow(spark, boilerplate, caplog):
+    """MOSS's over-common-fingerprint rule: fingerprints shared by the
+    whole batch carry no copy signal and are dropped before the join."""
+    import logging
+
+    from webalizer_spark.operators.dedup import (winnow_copy_pairs,
+                                                 winnow_fingerprints)
+
+    fp = winnow_fingerprints(boilerplate, k=3, window=4)
+    with caplog.at_level(logging.WARNING, logger="webalizer_spark.dedup"):
+        capped = winnow_copy_pairs(fp, min_shared=1, max_fp_freq=50).count()
+    assert capped == 0
+    assert any("winnow_copy_pairs" in r.getMessage() for r in caplog.records)
+    # uncapped, the identical docs all pair up
+    assert winnow_copy_pairs(fp, min_shared=1).count() == 1000 * 999 / 2
 
 
 def test_emb_near_dup_lsh_drops_subset_of_allpairs(spark):

@@ -11,8 +11,35 @@ doc_minhash_lsh_pairs, doc_simhash).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("webalizer_spark.dedup")
+
+
+def _cap_hot_keys(keys: DataFrame, key_cols: list[str], cap: int | None,
+                  op: str) -> DataFrame:
+    """Drop join keys shared by more than `cap` rows before a candidate
+    self-join — MOSS's over-common-fingerprint rule / the standard LSH
+    bucket-size cap. A key shared by k rows yields k^2 candidate pairs,
+    and at corpus scale boilerplate (empty docs, templates) makes k huge;
+    capping bounds the join output at cap^2 per bucket. cap=None disables
+    (the exact, oracle-checked configuration). Never silent: the number
+    of dropped keys is counted and logged (one cheap aggregate over the
+    key table — tiny next to the join it protects)."""
+    if cap is None:
+        return keys
+    hot = (keys.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > cap)
+           .select(*key_cols))
+    n_hot = hot.count()
+    if n_hot == 0:
+        return keys
+    _LOG.warning("%s: dropping %d hot bucket key(s) with > %d members "
+                 "before the candidate join", op, n_hot, cap)
+    return keys.join(hot, key_cols, "left_anti")
 
 
 def _hash64(col: F.Column, seed: F.Column | None = None) -> F.Column:
@@ -67,14 +94,22 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8,
 
 
 def lsh_candidate_pairs(sig: DataFrame, rows_per_band: int = 2,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_bucket_size: int | None = None) -> DataFrame:
     """LSH banding: docs agreeing on ALL minhashes within a band become
-    candidates (bucket equi-join — the scale path replacing all-pairs)."""
+    candidates (bucket equi-join — the scale path replacing all-pairs).
+
+    max_bucket_size caps band-bucket membership: a band key shared by k
+    docs emits k^2/2 pairs, so degenerate buckets (boilerplate/empty
+    docs) are dropped — with a logged count — rather than detonating the
+    join. None (default) keeps exact LSH semantics (oracle-checked)."""
     banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
     keys = (banded.groupBy(id_col, "band")
             .agg(F.array_join(F.transform(
                 F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
                 lambda s: s["minhash"].cast("string")), ",").alias("band_key")))
+    keys = _cap_hot_keys(keys, ["band", "band_key"], max_bucket_size,
+                         "lsh_candidate_pairs")
     a, b = keys.alias("a"), keys.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -150,7 +185,8 @@ def simhash(sh: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFrame:
 
 
 def simhash_pairs(sig: DataFrame, max_hamming: int = 2, bits: int = 16,
-                  n_blocks: int = 4, id_col: str = "doc_id") -> DataFrame:
+                  n_blocks: int = 4, id_col: str = "doc_id",
+                  max_block_freq: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Scale shape: pigeonhole blocking — split the fingerprint into
@@ -161,11 +197,20 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 2, bits: int = 16,
     predicate verifies each candidate. Lossless for max_hamming <
     n_blocks (pigeonhole), so results equal the all-pairs definition —
     which is exactly what the DuckDB oracle computes (doc_simhash_pairs).
+
+    max_block_freq caps (block, value) bucket membership (logged drop,
+    see _cap_hot_keys) — the hot-bucket guard for boilerplate-heavy
+    corpora where thousands of near-identical fingerprints share every
+    block. None (default) keeps the lossless exact semantics.
     """
     if max_hamming >= n_blocks:
         raise ValueError("pigeonhole blocking needs max_hamming < n_blocks")
     if bits % n_blocks:
         raise ValueError("bits must divide evenly into n_blocks")
+    if not 0 < bits <= 63:
+        # bigint shiftright sign-extends past bit 63: block keys built
+        # from a sign-set fingerprint would collide/diverge incorrectly
+        raise ValueError("bits must be in [1, 63] (bigint sign bit)")
     bw = bits // n_blocks
     mask = (1 << bw) - 1
     spark = sig.sparkSession
@@ -174,6 +219,8 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 2, bits: int = 16,
             .withColumn("bval",
                         F.expr(f"shiftright(simhash, blk * {bw}) & {mask}"))
             .select(id_col, "simhash", "blk", "bval"))
+    keys = _cap_hot_keys(keys, ["blk", "bval"], max_block_freq,
+                         "simhash_pairs")
     a, b = keys.alias("a"), keys.alias("b")
     cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.bval") == F.col("b.bval"))
@@ -219,7 +266,9 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
     w = (Window.partitionBy(id_col).orderBy("pos")
          .rowsBetween(0, window - 1))
     # rightmost-min tie-break: min over (h, -pos) structs picks the
-    # LARGEST pos among equal hashes (the paper's robust winnowing)
+    # LARGEST pos among equal hashes — standard winnowing's rightmost-min
+    # rule (the paper's "robust winnowing" variant instead prefers
+    # re-selecting the previous window's hash; not implemented here)
     sel = hashed.withColumn(
         "win_min", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))
                          ).over(w))
@@ -230,6 +279,31 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
             .select(id_col, F.col("win_min.h").alias("fingerprint"),
                     (-F.col("win_min.np")).cast("int").alias("at_pos"))
             .distinct())
+
+
+def winnow_copy_pairs(fp: DataFrame, min_shared: int = 3,
+                      id_col: str = "doc_id",
+                      max_fp_freq: int | None = None) -> DataFrame:
+    """Copy detection over winnowing fingerprints — the MOSS match step:
+    pairs of docs sharing >= min_shared selected fingerprints, via a
+    fingerprint equi-join over the winnowed ~1/window subsample.
+
+    max_fp_freq is MOSS's over-common-fingerprint rule: a fingerprint
+    shared by k docs contributes k^2/2 pairs, and fingerprints present
+    in a large fraction of the corpus (boilerplate, licenses) carry no
+    copy signal — drop them (logged) before the join. None (default)
+    keeps the exact join semantics (oracle-checked, doc_winnow_pairs).
+    """
+    keys = fp.select(id_col, "fingerprint").distinct()
+    keys = _cap_hot_keys(keys, ["fingerprint"], max_fp_freq,
+                         "winnow_copy_pairs")
+    a, b = keys.alias("a"), keys.alias("b")
+    return (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared))
 
 
 def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
@@ -266,7 +340,7 @@ def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         # would execute twice per round (optimizer reuse is not
         # guaranteed across the join)
         prop = (labels.join(neigh, "v", "left")
-                .select("v", F.least(
+                .select("v", F.col("label").alias("old"), F.least(
                     "label", F.coalesce("nlabel", F.col("label"))
                 ).alias("label"))
                 .localCheckpoint(eager=True))
@@ -275,15 +349,16 @@ def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         # self-join always resolves; left join guards the fixpoint rows.
         jump = prop.select(F.col("v").alias("label"),
                            F.col("label").alias("label2"))
+        # carry the round-start label ("old") through so convergence is
+        # a filter over the checkpointed result — no extra join job
         new_labels = (prop.join(jump, "label", "left")
-                      .select("v", F.least(
+                      .select("v", "old", F.least(
                           "label", F.coalesce("label2", F.col("label"))
                       ).alias("label"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.join(
-            labels.select("v", F.col("label").alias("old")), "v")
-            .filter(F.col("label") != F.col("old")).limit(1).count())
-        labels = new_labels
+        changed = (new_labels.filter(F.col("label") != F.col("old"))
+                   .limit(1).count())
+        labels = new_labels.select("v", "label")
         if changed == 0:
             break
     return labels
@@ -303,14 +378,19 @@ def drop_non_min_members(df: DataFrame, edges: DataFrame,
 
 def near_dup_remove(df: DataFrame, content_col: str = "text",
                     id_col: str = "doc_id", threshold: float = 0.9,
-                    num_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
+                    num_hashes: int = 8, rows_per_band: int = 2,
+                    max_bucket_size: int | None = None) -> DataFrame:
     """End-to-end near-dup removal: MinHash -> LSH candidates -> exact
     Jaccard verify -> connected components over the verified pairs ->
     keep exactly the minimum-id member of each dup component. Transitive
     chains (A~B~C where A~C was never a pair) dedup deterministically —
-    the greedy pairwise drop they replace could over/under-drop those."""
+    the greedy pairwise drop they replace could over/under-drop those.
+    max_bucket_size passes through to the LSH candidate join (hot-bucket
+    cap for boilerplate-heavy corpora; capped buckets keep ALL members,
+    i.e. over-common content is left undeduped rather than exploded)."""
     sh = shingles(df, content_col, 1, id_col)
     cand = lsh_candidate_pairs(
-        minhash_signatures(sh, num_hashes, id_col), rows_per_band, id_col)
+        minhash_signatures(sh, num_hashes, id_col), rows_per_band, id_col,
+        max_bucket_size=max_bucket_size)
     dup = jaccard_pairs(sh, threshold, id_col, candidates=cand)
     return drop_non_min_members(df, dup.select("doc_a", "doc_b"), id_col)

@@ -165,7 +165,8 @@ def near_dup_cosine(emb: DataFrame, threshold: float = 0.95,
 def near_dup_remove_lsh(emb: DataFrame, threshold: float = 0.45,
                         num_planes: int = 4, num_tables: int = 8,
                         dim: int = 64, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Semantic near-dup removal END-TO-END at scale: multi-table
     hyperplane-LSH bucket candidates -> exact cosine verify (only on
     candidate pairs) -> connected components (min-label, pointer-jump)
@@ -175,9 +176,14 @@ def near_dup_remove_lsh(emb: DataFrame, threshold: float = 0.45,
     from the (table, signature) equi-join, so the quadratic term is
     bounded by bucket sizes. Oracle-checked bit-exact in queries.py
     (emb_near_dup_keep, vs a recursive-CTE closure)."""
-    from webalizer_spark.operators.dedup import drop_non_min_members
+    from webalizer_spark.operators.dedup import (_cap_hot_keys,
+                                                 drop_non_min_members)
 
     sig = lsh_signatures(emb, num_planes, dim, id_col, vec_col, num_tables)
+    # hot-bucket cap (same hazard as text LSH: near-constant embeddings
+    # — e.g. zero vectors — collapse into one (t, sig) bucket)
+    sig = _cap_hot_keys(sig, ["t", "sig"], max_bucket_size,
+                        "near_dup_remove_lsh")
     a = sig.select(F.col(id_col).alias("va"), F.col("t").alias("ta"),
                    F.col("sig").alias("sa"))
     b = sig.select(F.col(id_col).alias("vb"), F.col("t").alias("tb"),
@@ -253,9 +259,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(vec_col).alias("cv")).join(corpus_cells, "neighbor_id")
     qv = queries.select(F.col(id_col).alias("query_id"),
                         F.col(vec_col).alias("qv")).join(query_probes, "query_id")
+    # no dedupe needed: corpus vectors are assigned to exactly ONE cell
+    # (n_probe=1 above), so a (query, neighbor) pair can match in at most
+    # one probed cell — a .distinct() here would shuffle full vector
+    # payloads for nothing (if corpus-side multi-assignment is ever
+    # added, dedupe on ids only, then join vectors back)
     pairs = (F.broadcast(qv).join(cv, "cell_id")
              .filter(F.col("query_id") != F.col("neighbor_id"))
-             .select("query_id", "neighbor_id", "qv", "cv").distinct()
              .withColumn("cos", cosine("qv", "cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())

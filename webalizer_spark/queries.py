@@ -1380,17 +1380,14 @@ def doc_winnow_pairs(spark, sf):
     sharing >= 3 selected fingerprints — the MOSS match step. Scale
     shape: fingerprint equi-join (fingerprint-partitioned, like the
     shingle join but over the winnowed ~1/window subsample, so the
-    self-join input is a fraction of the k-gram stream)."""
-    from webalizer_spark.operators.dedup import winnow_fingerprints
-    fp = (winnow_fingerprints(_t(spark, sf, "documents"), k=3, window=4)
-          .select("doc_id", "fingerprint").distinct())
-    a, b = fp.alias("a"), fp.alias("b")
-    return (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("shared_fps"))
-            .filter(F.col("shared_fps") >= 3))
+    self-join input is a fraction of the k-gram stream). The operator's
+    max_fp_freq hot-fingerprint cap (MOSS's over-common rule) is
+    disabled here so the oracle sees exact join semantics; the capped
+    path is pinned in tests/test_dedup_similarity.py."""
+    from webalizer_spark.operators.dedup import (winnow_copy_pairs,
+                                                 winnow_fingerprints)
+    fp = winnow_fingerprints(_t(spark, sf, "documents"), k=3, window=4)
+    return winnow_copy_pairs(fp, min_shared=3)
 
 
 @q("emb_near_dup_keep", "WITH RECURSIVE " + _LSH_SIG_CTE + """,
