@@ -136,3 +136,58 @@ def test_group_site_agent_user_rollups(cfg_result2):
     grp = gu.loc[gu["is_group"], "group_name"].tolist()
     # u1* users were IGNORED pre-agg; u2* group still forms
     assert grp == ["u2-users"] or "u2-users" in grp
+
+
+@pytest.fixture(scope="module")
+def cfg_result3(spark, transcripts, dims):
+    """Third config: the round-3 list families — Include overrides for
+    referrer/agent/user, HideUser, GroupReferrer [sample.conf;
+    linklist.c ƒisinlist family tables]."""
+    cfg = EngineConfig(
+        lists=WildcardLists(
+            ignore_agent=["claude*", "gpt*"],
+            include_agent=["gpt*"],            # re-admit gpt, drop claude
+            ignore_user=["u1*", "u2*"],
+            include_user=["u2*"],              # re-admit u2x, drop u1x
+            ignore_referrer=["*eng-3*", "*eng-4*"],
+            include_referrer=["*eng-4*"],      # re-admit eng-4, drop eng-3
+            hide_user=["u3*"],
+            group_referrer=(("*eng-5*", "engine-5"),),
+        ),
+    )
+    res = run_pipeline(spark, transcripts, dims, cfg=cfg)
+    yield res, cfg
+    res.unpersist()
+
+
+def test_include_overrides_readmit_records(cfg_result3):
+    res, _ = cfg_result3
+    en = res.enriched
+    assert en.filter(F.col("agent_str").startswith("claude")).count() == 0
+    assert en.filter(F.col("agent_str").startswith("gpt")).count() > 0
+    assert en.filter(F.col("ident").startswith("u1")).count() == 0
+    assert en.filter(F.col("ident").startswith("u2")).count() > 0
+    assert en.filter(F.col("referrer").contains("eng-3")).count() == 0
+    assert en.filter(F.col("referrer").contains("eng-4")).count() > 0
+
+
+def test_hide_user_display_only(cfg_result3):
+    res, _ = cfg_result3
+    top = res.reports["top_users"].toPandas()
+    assert not top["user"].str.startswith("u3").any()
+    # still aggregated — u3x rows survive in the spine
+    assert res.enriched.filter(F.col("ident").startswith("u3")).count() > 0
+
+
+def test_group_referrer_rollup(cfg_result3):
+    res, _ = cfg_result3
+    gr = res.reports["grouped_referrers"].toPandas()
+    groups = gr[gr["is_group"]]
+    singles = gr[~gr["is_group"]]
+    assert set(groups["group_name"]) == {"engine-5"}
+    grp_hits = int(groups["hits"].iloc[0])
+    member_hits = int(singles.loc[
+        singles["referrer"].str.contains("eng-5"), "hits"].sum())
+    assert grp_hits == member_hits > 0
+    # only its own table is affected: no other grouped_* report appears
+    assert "grouped_tools" not in res.reports

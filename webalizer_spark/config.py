@@ -54,12 +54,17 @@ class WildcardLists:
     ignore_user: tuple[str, ...] = ()
     include_site: tuple[str, ...] = ()
     include_url: tuple[str, ...] = ()
+    include_referrer: tuple[str, ...] = ()
+    include_agent: tuple[str, ...] = ()
+    include_user: tuple[str, ...] = ()
     hide_site: tuple[str, ...] = ()
     hide_url: tuple[str, ...] = ()
     hide_referrer: tuple[str, ...] = ()
     hide_agent: tuple[str, ...] = ()
+    hide_user: tuple[str, ...] = ()
     group_site: tuple[tuple[str, str], ...] = ()
     group_url: tuple[tuple[str, str], ...] = ()
+    group_referrer: tuple[tuple[str, str], ...] = ()
     group_agent: tuple[tuple[str, str], ...] = ()
     group_user: tuple[tuple[str, str], ...] = ()
 

@@ -112,9 +112,12 @@ def run_pipeline(
     # all five Ignore families drop the whole record before any tally
     ok = ignore_include(ok, "conv_id", cfg.lists.ignore_site, cfg.lists.include_site)
     ok = ignore_include(ok, "path", cfg.lists.ignore_url, cfg.lists.include_url)
-    ok = ignore_include(ok, "agent_str", cfg.lists.ignore_agent)
-    ok = ignore_include(ok, "ident", cfg.lists.ignore_user)
-    ok = ignore_include(ok, "referrer", cfg.lists.ignore_referrer)
+    ok = ignore_include(ok, "agent_str", cfg.lists.ignore_agent,
+                        cfg.lists.include_agent)
+    ok = ignore_include(ok, "ident", cfg.lists.ignore_user,
+                        cfg.lists.include_user)
+    ok = ignore_include(ok, "referrer", cfg.lists.ignore_referrer,
+                        cfg.lists.include_referrer)
     if cfg.mangle_agents:
         ok = ok.withColumn("agent_str", agent_mangle(F.col("agent_str"), cfg.mangle_agents))
 
@@ -179,7 +182,9 @@ def run_pipeline(
         "top_agents": T.top_n(hide(A.per_agent(spine), "agent",
                                    cfg.lists.hide_agent),
                               "hits", "agent", n.agents),
-        "top_users": T.top_n(A.per_user(spine), "hits", "user", n.users),
+        "top_users": T.top_n(hide(A.per_user(spine), "user",
+                                  cfg.lists.hide_user),
+                             "hits", "user", n.users),
         "top_search": T.top_n(A.per_search_term(spine), "hits", "search_term",
                               n.search),
         "top_entry": T.top_n(entry_counts(sess_pages), "entries", "page", n.entry),
@@ -211,6 +216,12 @@ def run_pipeline(
     if cfg.lists.group_agent:
         reports["grouped_agents"] = A.grouped_rollup(
             spine, "agent_str", cfg.lists.group_agent)
+    if cfg.lists.group_referrer:
+        # blank referrers land in the reference's '-' slot (per_referrer
+        # convention) so a Group pattern can target them too
+        reports["grouped_referrers"] = A.grouped_rollup(
+            spine.withColumn("referrer", F.coalesce("referrer", F.lit("-"))),
+            "referrer", cfg.lists.group_referrer, metrics=[A.HITS()])
     if cfg.lists.group_user:
         reports["grouped_users"] = A.grouped_rollup(
             spine.filter(F.col("ident").isNotNull()), "ident",
