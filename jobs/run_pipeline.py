@@ -77,7 +77,9 @@ def main() -> None:
                and os.path.exists(ckpt.manifest))
     sessionizer = None
     if resumed:
-        tr = resume_filter(tr, ckpt)
+        # multi-format mode: W3C #Fields: directive rows must survive the
+        # watermark filter so the resumed batch can parse its W3C records
+        tr = resume_filter(tr, ckpt, keep_directives=(args.grok == "multi"))
         # session numbering continues the saved per-conv state
         sessionizer = lambda df: resume_sessionize(  # noqa: E731
             df, ckpt, cfg.visit_timeout_s)

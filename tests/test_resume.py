@@ -268,3 +268,49 @@ def test_fold_seq_err_keeps_late_records(spark, parsed_ok, halves):
         F.col("ts") != F.lit(wm).cast("timestamp")).count() == 0
     assert folded.filter(
         F.col("ts") < F.lit(wm).cast("timestamp")).count() == 0
+
+
+def test_month_boundary_visit_counts_once(spark):
+    """SURVEY §7 hard-part 4: a visit spanning a month edge. Monthly
+    totals split strictly by ts; the session stays unbroken (visits are
+    timeout-based, never month-reset [hashtab.c ƒput_hnode: the tstamp
+    comparison knows nothing of months]); and an incremental run split
+    exactly at the boundary still counts the visit ONCE, in its start
+    month."""
+    import datetime as dt
+
+    rows = [("mb-1", i, dt.datetime(2024, 1, 31, 23, 50) + dt.timedelta(minutes=m),
+             200, "search", 100, "agent/1.0", "u1")
+            for i, m in enumerate([0, 5, 12, 16])]   # last two land in Feb
+    rows.append(("mb-2", 0, dt.datetime(2024, 2, 1, 9, 0),
+                 200, "python", 50, "agent/1.0", "u2"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, status int,"
+              " tool string, nbytes long, agent_str string, ident string")
+
+    sess = sessionize(df, 1800)
+    mb1 = sess.filter("conv_id = 'mb-1'").orderBy("turn_idx").collect()
+    assert [r["is_new_session"] for r in mb1] == [True, False, False, False]
+    assert {r["session_seq"] for r in mb1} == {1}
+
+    from webalizer_spark.operators.aggregates import month_summary
+    monthly = {r["month_ts"].month: r for r in month_summary(sess).collect()}
+    assert monthly[1]["hits"] == 2 and monthly[2]["hits"] == 3
+    assert monthly[1]["visits"] == 1     # the spanning visit, at its start
+    assert monthly[2]["visits"] == 1     # only mb-2 begins in February
+
+    # incremental run split at the month boundary: resume must continue
+    # the open visit, and the merged daily state counts 2 visits total
+    ck = CKPT + "_month"
+    shutil.rmtree(ck, ignore_errors=True)
+    ckpt = CheckpointPaths(ck)
+    save_state(sessionize(
+        df.filter("ts < timestamp'2024-02-01 00:00:00'"), 1800), ckpt)
+    feb = resume_filter(df, ckpt)
+    resumed = resume_sessionize(feb, ckpt, 1800)
+    assert resumed.filter("conv_id = 'mb-1'").count() == 2
+    assert resumed.filter(
+        "conv_id = 'mb-1' AND is_new_session").count() == 0
+    merged = merge_daily(resumed, ckpt).collect()
+    assert sum(r["visits"] for r in merged) == 2
+    shutil.rmtree(ck, ignore_errors=True)

@@ -186,7 +186,9 @@ def load_manifest(ckpt: CheckpointPaths) -> dict:
 
 
 def resume_filter(df: DataFrame, ckpt: CheckpointPaths,
-                  fold_seq_err: bool = False, ts_col: str = "ts") -> DataFrame:
+                  fold_seq_err: bool = False, ts_col: str = "ts",
+                  keep_directives: bool = False,
+                  text_col: str = "text") -> DataFrame:
     """P6: incremental restart skips records at-or-before the watermark
     [webalizer.c total_ignore tally]. On Iceberg the same predicate prunes
     ts-bucketed partitions at planning time.
@@ -201,8 +203,23 @@ def resume_filter(df: DataFrame, ckpt: CheckpointPaths,
     reference over an old log would double-count under FoldSeqErr).
     The streaming twin is the watermark-late-data policy
     (streaming/session_stream.py).
+
+    keep_directives: W3C '#'-prefixed directive rows are format METADATA,
+    not data records — each incremental batch needs the #Fields: row to
+    parse its W3C records [parser.c re-reads the header per log file], so
+    they pass the watermark filter (the parser drops them from hits and
+    errors either way; they are never counted or checkpointed).
     """
     wm = F.lit(load_manifest(ckpt)["watermark"]).cast("timestamp")
+    if keep_directives:
+        directive = F.col(text_col).startswith("#")
+        if not fold_seq_err:
+            return df.filter((F.col(ts_col) > wm) | directive)
+        return (df.withColumn(
+                    "seq_folded", (F.col(ts_col) <= wm) & ~directive)
+                .withColumn(ts_col,
+                            F.when(directive, F.col(ts_col))
+                            .otherwise(F.greatest(F.col(ts_col), wm))))
     if not fold_seq_err:
         return df.filter(F.col(ts_col) > wm)
     return (df.withColumn("seq_folded", F.col(ts_col) <= wm)
