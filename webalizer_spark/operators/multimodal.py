@@ -6,12 +6,13 @@ frame-sample run as Arrow-batched Python over mapInPandas (the only hot
 path where Python is justified: codec libraries are not expressible as
 Catalyst expressions).
 
-Codec status: BMP (24-bit uncompressed) and WAV (PCM16 mono) are REAL
-decoders implemented here in pure numpy — the fixture generator emits
-genuine .bmp/.wav payloads for half the image/audio rows, and the
+Codec status: BMP (24-bit uncompressed), WAV (PCM16 mono) and PNG
+(8-bit gray/RGB non-interlaced; stdlib zlib inflate + numpy unfilter
+incl. the Paeth predictor) are REAL codecs implemented here — the
+fixture generator emits genuine .bmp/.wav/.png payloads, and the
 feature/resize paths decode them byte-for-byte like any external tool
-would. Formats needing external libraries (JPEG/PNG/FLAC/video codecs)
-go through `_decode_real`, which raises NotImplementedError behind an
+would. Formats needing external libraries (JPEG/FLAC/video codecs) go
+through `_decode_real`, which raises NotImplementedError behind an
 import-try (PIL / soundfile are not in the sandbox image); the
 deterministic fake container covers those rows in tests. decode_media()
 sniffs the payload magic and dispatches — swapping in PIL on a real
@@ -87,6 +88,116 @@ def decode_bmp(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     return np.ascontiguousarray(gray), (abs(h), w)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (a=left, b=up, c=upper-left) [PNG spec
+    §9.4]."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(gray: np.ndarray, filter_type: int = 4) -> bytes:
+    """Encode a HxW uint8 grayscale array as a REAL PNG (8-bit, color
+    type 0, non-interlaced) — stdlib zlib deflate, correct CRCs, opens
+    anywhere. filter_type 0 (None) or 4 (Paeth, the default) — Paeth
+    exercises the decoder's sequential unfilter path."""
+    import zlib
+
+    h, w = gray.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        row = gray[r].astype(np.int32)
+        if filter_type == 0:
+            raw.append(0)
+            raw += row.astype(np.uint8).tobytes()
+        else:
+            # filters predict from RECONSTRUCTED bytes == originals here
+            raw.append(4)
+            left = np.concatenate(([0], row[:-1]))
+            ul = np.concatenate(([0], prev[:-1]))
+            raw += ((row - _paeth_vec(left, prev, ul)) % 256) \
+                .astype(np.uint8).tobytes()
+        prev = row
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode an 8-bit non-interlaced grayscale/RGB PNG to HxW uint8
+    (RGB reads channel 0, matching the BMP convention) — pure stdlib
+    zlib inflate + numpy unfilter, all five scanline filter types
+    including the Paeth predictor. Multiple IDAT chunks concatenate per
+    the spec; CRCs are not re-verified (zlib's adler32 covers the
+    stream)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, meta, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        ln, = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = meta
+    if depth != 8 or color not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}; need 8-bit gray/RGB non-interlaced)")
+    ch = 1 if color == 0 else 3
+    rows = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8) \
+        .reshape(h, w * ch + 1)
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    for r in range(h):
+        ft = int(rows[r, 0])
+        cur = rows[r, 1:].astype(np.int32)
+        up = out[r - 1].astype(np.int32) if r else np.zeros(w * ch, np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:            # Up: no left dependency -> vectorized
+            rec = (cur + up) % 256
+        elif ft in (1, 3, 4):    # Sub/Average/Paeth: sequential in x
+            rec = np.zeros(w * ch, dtype=np.int32)
+            for i in range(w * ch):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(up[i])
+                c = int(up[i - ch]) if i >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[i] = (int(cur[i]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = rec.astype(np.uint8)
+    img = out.reshape(h, w, ch)[:, :, 0]
+    return np.ascontiguousarray(img), (h, w)
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     """Encode int16 mono samples as a REAL RIFF/WAVE PCM16 file."""
     data = samples.astype("<i2").tobytes()
@@ -120,10 +231,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
-    """Deterministic media fixture. Half the image rows are REAL 24-bit
-    BMPs and half the audio rows REAL PCM16 WAVs (exercising the real
-    codecs); the rest use the self-describing fake container (standing
-    in for PIL-only formats)."""
+    """Deterministic media fixture. Image rows rotate through REAL
+    24-bit BMPs, REAL Paeth-filtered PNGs and the fake container; half
+    the audio rows are REAL PCM16 WAVs; the rest use the
+    self-describing fake container (standing in for PIL-only formats
+    like JPEG)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -137,6 +249,8 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
         body = rng.integers(0, 256, body_len, dtype=np.uint8)
         if kind == "image" and i % 2 == 0:
             payload = encode_bmp24(body.reshape(h, w))
+        elif kind == "image" and i % 12 == 3:
+            payload = encode_png(body.reshape(h, w))
         elif kind == "audio" and i % 2 == 1:
             payload = encode_wav_pcm16(
                 (body.astype(np.int16) - 128) * 256, sr)
@@ -160,8 +274,9 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
 
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
-    """External-library codec path (JPEG/PNG/FLAC/video) — requires
-    PIL/soundfile/av, which the sandbox image lacks."""
+    """External-library codec path (JPEG/FLAC/video) — requires
+    PIL/soundfile/av, which the sandbox image lacks. (BMP/WAV/PNG decode
+    natively above and never reach here.)"""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -184,8 +299,11 @@ def _decode_fake(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
 
 
 def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]]:
-    """Magic-sniffing codec dispatch: real BMP/WAV decoders first, the
-    deterministic fake container next, external-library formats last."""
+    """Magic-sniffing codec dispatch: real BMP/PNG/WAV decoders first,
+    the deterministic fake container next, external-library formats
+    last."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF":
