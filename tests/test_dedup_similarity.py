@@ -103,17 +103,31 @@ def test_ivf_exhaustive_probe_equals_brute_force(spark):
     assert ivf_all == exact          # probing every cell == exhaustive
 
 
-def test_ivf_partial_probe_recall(spark):
+def test_ivf_partial_probe_recall_curve(spark):
+    """recall@5 vs n_probe is deterministic (seeded k-means + md5
+    sample): strictly improving with probes, >= 0.75 at n_probe=4 and
+    exactly 1.0 at exhaustive probe. The fixture vectors are near-
+    uniform random — the WORST case for IVF (no cluster structure to
+    exploit), so these bounds are the honest floor; clustered real
+    embeddings do better (curve recorded in BENCH.md)."""
     from webalizer_spark.operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.filter("vec_id < 20")
     exact = brute_force_topk(emb, queries, k=5).collect()
-    approx = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3).collect()
     es = {}
     for r in exact:
         es.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    hit = sum(r["neighbor_id"] in es[r["query_id"]] for r in approx)
-    assert hit / len(approx) > 0.3   # random vectors; structure is the point
+
+    def recall(n_probe: int) -> float:
+        approx = ivf_topk(emb, queries, k=5, n_cells=8,
+                          n_probe=n_probe).collect()
+        return sum(r["neighbor_id"] in es[r["query_id"]]
+                   for r in approx) / len(approx)
+
+    curve = {p: recall(p) for p in (1, 2, 4, 8)}
+    assert curve[1] < curve[2] < curve[4] < curve[8]
+    assert curve[4] >= 0.75
+    assert curve[8] == 1.0
 
 
 def test_shingles_short_doc_yields_no_shingles(spark):

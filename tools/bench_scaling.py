@@ -96,6 +96,11 @@ def main() -> None:
     for i in range(args.pairs):
         order = ([args.low, args.high] if i % 2 == 0
                  else [args.high, args.low])
+        # BRACKET the pair with probes (round-2 advice): a single
+        # after-the-fact probe on a steal-varying host can sample a quiet
+        # moment and understate the ceiling; before+after averaged is the
+        # fairer estimate of conditions DURING the runs
+        ceil_before = cpu_ceiling(args.low, args.high)
         pair: dict[int, dict] = {}
         for cpus in order:
             rec = run_once(cpus, args.convs, args.whale)
@@ -106,15 +111,24 @@ def main() -> None:
                   f"({rec['pipeline']['sec']:.1f}s, "
                   f"{rec['pipeline']['turns']} turns, "
                   f"load {rec['loadavg_before']})", flush=True)
-        ceil = cpu_ceiling(args.low, args.high)
+        ceil_after = cpu_ceiling(args.low, args.high)
+        ceil = {
+            "before": ceil_before, "after": ceil_after,
+            "ceiling": round((ceil_before["ceiling"]
+                              + ceil_after["ceiling"]) / 2, 4),
+        }
         ceilings.append(ceil)
         eff = (pair[args.high]["pipeline"]["turns_per_sec"]
                / pair[args.low]["pipeline"]["turns_per_sec"]) / factor
         pair_effs.append(round(eff, 4))
-        pair_norm_effs.append(round(min(eff / ceil["ceiling"], 1.0), 4))
+        # normalized value is DIAGNOSTIC-only (no clamp: >1 values
+        # surface as probe noise rather than being hidden); the graded
+        # number is the raw median
+        pair_norm_effs.append(round(eff / ceil["ceiling"], 4))
         print(f"pair {i}: efficiency {eff:.3f} "
-              f"(hw ceiling {ceil['ceiling']:.3f}, "
-              f"normalized {pair_norm_effs[-1]:.3f})", flush=True)
+              f"(hw ceiling {ceil['ceiling']:.3f} "
+              f"[{ceil_before['ceiling']:.3f}/{ceil_after['ceiling']:.3f}], "
+              f"normalized-diagnostic {pair_norm_effs[-1]:.3f})", flush=True)
 
     med = statistics.median(pair_effs)
     med_norm = statistics.median(pair_norm_effs)
@@ -128,9 +142,10 @@ def main() -> None:
         "hw_ceilings": [c["ceiling"] for c in ceilings],
         "pair_efficiencies_normalized": pair_norm_effs,
         "median_efficiency": round(med, 4),
+        # diagnostic only (probe-bracketed, unclamped) — the graded
+        # criterion reads median_efficiency / pass_0_8
         "median_efficiency_normalized": round(med_norm, 4),
         "pass_0_8": med >= 0.8,
-        "pass_0_8_normalized": med_norm >= 0.8,
         "samples": [{"cpus": s["cpus"], "loadavg_before": s["loadavg_before"],
                      **s["pipeline"]} for s in samples],
     }
@@ -143,8 +158,7 @@ def main() -> None:
     print(json.dumps({k: result[k] for k in
                       ["pair_efficiencies", "median_efficiency", "pass_0_8",
                        "hw_ceilings", "pair_efficiencies_normalized",
-                       "median_efficiency_normalized",
-                       "pass_0_8_normalized"]}))
+                       "median_efficiency_normalized"]}))
 
 
 if __name__ == "__main__":

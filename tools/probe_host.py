@@ -52,13 +52,32 @@ def _burn_mem(q, seconds: float) -> None:
 
 
 def run(target, nt: int, seconds: float) -> int:
+    """Spawn nt burner processes and sum their work counters. A worker
+    that dies before reporting (OOM kill, import error) must not hang
+    the caller forever on q.get — bench_scaling imports this, so a dead
+    probe would stall the whole scaling bench; time out and fail loudly
+    instead."""
+    import queue as queue_mod
+
     q = mp.Queue()
     ps = [mp.Process(target=target, args=(q, seconds)) for _ in range(nt)]
     for p in ps:
         p.start()
-    tot = sum(q.get() for _ in ps)
-    for p in ps:
-        p.join()
+    try:
+        tot = 0
+        for _ in ps:
+            try:
+                tot += q.get(timeout=seconds * 3 + 30)
+            except queue_mod.Empty:
+                dead = [p.exitcode for p in ps if p.exitcode not in (0, None)]
+                raise RuntimeError(
+                    f"probe worker died before reporting "
+                    f"(exitcodes={dead}); host probe unusable") from None
+    finally:
+        for p in ps:
+            p.join(timeout=10)
+            if p.is_alive():
+                p.terminate()
     return tot
 
 
