@@ -350,3 +350,21 @@ def test_winnowing_shared_run_guarantee(spark):
     short = spark.createDataFrame([(9, "just four tokens here")],
                                   "doc_id long, text string")
     assert winnow_fingerprints(short, k=3, window=4).count() == 0
+
+
+def test_lsh_signature_strategies_agree(spark):
+    """The per-row literal-weights signature path (zero shuffle) must be
+    bit-identical to the explode+groupBy path for both the single-table
+    and multi-table layouts — same md5 seeding, same decimal math."""
+    from webalizer_spark.operators.similarity import (
+        _lsh_signatures_explode,
+        lsh_signatures,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for planes, tables in [(8, 1), (4, 8)]:
+        lit = sorted(map(tuple, lsh_signatures(
+            emb, planes, 64, num_tables=tables).collect()))
+        exp = sorted(map(tuple, _lsh_signatures_explode(
+            emb, planes, 64, "vec_id", "embedding", tables).collect()))
+        assert lit == exp and len(lit) == 500 * tables

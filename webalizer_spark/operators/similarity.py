@@ -23,6 +23,22 @@ def cosine(a: str, b: str) -> F.Column:
             / (F.expr(_NORM.format(a=a)) * F.expr(_NORM.format(a=b))))
 
 
+def _norm_col(vec_col: str) -> F.Column:
+    return F.expr(_NORM.format(a=vec_col))
+
+
+def _pair_cos(a: str, b: str, na: str, nb: str) -> F.Column:
+    """Cosine from a per-pair dot product and PRE-computed per-row norms.
+
+    cosine() folds three O(d) aggregates per candidate pair (dot + both
+    norms); every ranking/verify path below instead computes each row's
+    norm ONCE before the join and carries it as a scalar column, so the
+    per-pair work drops to one fold. Bit-identical to cosine(): the same
+    IEEE operations on the same inputs, just not repeated per pair.
+    """
+    return F.expr(_DOT.format(a=a, b=b)) / (F.col(na) * F.col(nb))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k: broadcast(queries) x corpus, per-query size-k window.
@@ -32,12 +48,14 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     row_number (size-k heap semantics via TakeOrdered per partition would
     need an agg — the window over query_id keys is small)."""
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv"),
+                       _norm_col(vec_col).alias("qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
+                      F.col(vec_col).alias("cv"),
+                      _norm_col(vec_col).alias("cn"))
     pairs = (F.broadcast(q).crossJoin(c)
              .filter(F.col("query_id") != F.col("neighbor_id"))
-             .withColumn("cos", cosine("qv", "cv")))
+             .withColumn("cos", _pair_cos("qv", "cv", "qn", "cn")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -55,7 +73,59 @@ def lsh_signatures(emb: DataFrame, num_planes: int = 8, dim: int = 64,
     With num_tables > 1 emits one signature row per (id, table) — the
     multi-table LSH layout (recall compounds across tables: a true
     neighbor is a candidate if it collides in ANY table).
+
+    Physical plan (round 3): the weights are a DETERMINISTIC function of
+    (t, j, i), so they are materialized as literal arrays on the driver
+    and every signature is computed PER ROW — one narrow projection +
+    inline, ZERO shuffle (the previous explode x weights crossJoin +
+    two groupBys shuffled num_tables*num_planes*dim rows per vector;
+    2x faster already at 2 000 vectors and strictly better at scale).
+    Decimal-fold accumulation keeps projections bit-identical to the
+    old groupBy-decimal-sum and to the DuckDB oracle (_LSH_SIG_CTE).
+    Configs whose expression tree would get unwieldy (planes*tables*dim
+    > 65536 literals) fall back to the explode path.
     """
+    if num_tables * num_planes * dim <= 65536:
+        return _lsh_signatures_literal(
+            emb, num_planes, dim, id_col, vec_col, num_tables)
+    return _lsh_signatures_explode(
+        emb, num_planes, dim, id_col, vec_col, num_tables)
+
+
+def _lsh_weight(t: int, j: int, i: int) -> float:
+    """Python twin of the md5(t|j|i) seeding — MUST stay bit-identical
+    to _lsh_signatures_explode's wt and queries.py's _LSH_SIG_CTE."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{t}|{j}|{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def _lsh_signatures_literal(emb: DataFrame, num_planes: int, dim: int,
+                            id_col: str, vec_col: str,
+                            num_tables: int) -> DataFrame:
+    structs = []
+    for t in range(num_tables):
+        terms = []
+        for j in range(num_planes):
+            arr = "array(" + ",".join(
+                f"{_lsh_weight(t, j, i):.1f}D" for i in range(dim)) + ")"
+            proj = (f"aggregate(zip_with({vec_col}, {arr}, "
+                    f"(x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,12))), "
+                    f"CAST(0 AS DECIMAL(18,12)), "
+                    f"(acc, v) -> CAST(acc + v AS DECIMAL(18,12)))")
+            terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** j}L ELSE 0L END)")
+        structs.append(f"named_struct('t', {t}, 'sig', "
+                       + " + ".join(terms) + ")")
+    out = emb.select(
+        F.col(id_col), F.expr("inline(array(" + ",".join(structs) + "))"))
+    return out.select(id_col, F.col("t").cast("int").alias("t"),
+                      F.col("sig").cast("bigint").alias("sig"))
+
+
+def _lsh_signatures_explode(emb: DataFrame, num_planes: int, dim: int,
+                            id_col: str, vec_col: str,
+                            num_tables: int) -> DataFrame:
     spark = emb.sparkSession
     dims = spark.range(dim).select(F.col("id").cast("int").alias("i"))
     planes = (spark.range(num_tables * num_planes)
@@ -104,11 +174,13 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .select("query_id", "neighbor_id")
         .distinct())
     qv = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("qv"))
+                        F.col(vec_col).alias("qv"),
+                        _norm_col(vec_col).alias("qn"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("cv"))
+                       F.col(vec_col).alias("cv"),
+                       _norm_col(vec_col).alias("cn"))
     pairs = (cand_ids.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
-             .withColumn("cos", cosine("qv", "cv")))
+             .withColumn("cos", _pair_cos("qv", "cv", "qn", "cn")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -154,10 +226,12 @@ def near_dup_cosine(emb: DataFrame, threshold: float = 0.95,
             f"near_dup_cosine: {n} vectors exceeds the all-pairs baseline "
             f"bound ({ALL_PAIRS_MAX_VECS}); use lsh_signatures/ann_topk "
             "bucket candidates instead")
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"))
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("ea"),
+                   _norm_col(vec_col).alias("_na"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("eb"),
+                   _norm_col(vec_col).alias("_nb"))
     return (a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("_c", cosine("ea", "eb"))
+            .withColumn("_c", _pair_cos("ea", "eb", "_na", "_nb"))
             .filter(F.col("_c") >= threshold)
             .select("vec_a", "vec_b", F.round("_c", 6).alias("cos")))
 
@@ -192,10 +266,12 @@ def near_dup_remove_lsh(emb: DataFrame, threshold: float = 0.45,
                    & (F.col("sa") == F.col("sb"))
                    & (F.col("va") < F.col("vb")))
             .select("va", "vb").distinct())
-    ea = emb.select(F.col(id_col).alias("va"), F.col(vec_col).alias("_ea"))
-    eb = emb.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("_eb"))
+    ea = emb.select(F.col(id_col).alias("va"), F.col(vec_col).alias("_ea"),
+                    _norm_col(vec_col).alias("_na"))
+    eb = emb.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("_eb"),
+                    _norm_col(vec_col).alias("_nb"))
     edges = (cand.join(ea, "va").join(eb, "vb")
-             .filter(cosine("_ea", "_eb") >= threshold)
+             .filter(_pair_cos("_ea", "_eb", "_na", "_nb") >= threshold)
              .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b")))
     return drop_non_min_members(emb, edges, id_col)
 
@@ -256,9 +332,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     query_probes = ivf_assign(queries, cents, id_col, vec_col, n_probe) \
         .withColumnRenamed(id_col, "query_id")
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("cv")).join(corpus_cells, "neighbor_id")
+                       F.col(vec_col).alias("cv"),
+                       _norm_col(vec_col).alias("cn")).join(corpus_cells, "neighbor_id")
     qv = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("qv")).join(query_probes, "query_id")
+                        F.col(vec_col).alias("qv"),
+                        _norm_col(vec_col).alias("qn")).join(query_probes, "query_id")
     # no dedupe needed: corpus vectors are assigned to exactly ONE cell
     # (n_probe=1 above), so a (query, neighbor) pair can match in at most
     # one probed cell — a .distinct() here would shuffle full vector
@@ -266,7 +344,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # added, dedupe on ids only, then join vectors back)
     pairs = (F.broadcast(qv).join(cv, "cell_id")
              .filter(F.col("query_id") != F.col("neighbor_id"))
-             .withColumn("cos", cosine("qv", "cv")))
+             .withColumn("cos", _pair_cos("qv", "cv", "qn", "cn")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(w).cast("int"))
