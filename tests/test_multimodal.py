@@ -131,3 +131,47 @@ def test_fixture_contains_real_png(spark, media):
         got = feats[feats["media_id"] == r["media_id"]].iloc[0]
         assert bool(got["ok"]) and got["decoded_shape"] == f"{h}x{w}"
         assert abs(got["mean_val"] - float(arr.mean())) < 1e-12
+
+
+def test_jpeg_codec_round_trip_psnr():
+    """Baseline grayscale JPEG is a REAL codec (DCT + canonical Huffman,
+    pure numpy/stdlib). JPEG is lossy, so the bound is reconstruction
+    error, not equality: smooth content at quality 90 stays within a few
+    gray levels; unsupported flavors are refused, not mis-decoded."""
+    from webalizer_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(8, 8), (17, 23), (40, 56)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        dec, shape = decode_jpeg_gray(encode_jpeg_gray(img, quality=95))
+        assert shape == (h, w)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 12 and err.mean() < 3.0, (h, w, err.max())
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray(b"\x00\x01" * 8)
+    # progressive (SOF2) must be refused
+    good = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
+    sof = bytes(good).find(b"\xff\xc0")
+    good[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="not baseline"):
+        decode_jpeg_gray(bytes(good))
+
+
+def test_fixture_contains_real_jpeg(spark, media):
+    """The fixture ships genuine baseline JPEGs; the Spark decode path
+    extracts features from them (lossy decode, deterministic values)."""
+    from webalizer_spark.operators.jpeg import decode_jpeg_gray
+
+    rows = media.select("media_id", "kind", "payload").collect()
+    jpg = [r for r in rows if bytes(r["payload"][:2]) == b"\xff\xd8"]
+    assert len(jpg) > 0
+    feats = extract_features(media).toPandas()
+    for r in jpg:
+        arr, (h, w) = decode_jpeg_gray(bytes(r["payload"]))
+        got = feats[feats["media_id"] == r["media_id"]].iloc[0]
+        assert bool(got["ok"]) and got["decoded_shape"] == f"{h}x{w}"
+        assert abs(got["mean_val"] - float(arr.mean())) < 1e-12

@@ -6,17 +6,19 @@ frame-sample run as Arrow-batched Python over mapInPandas (the only hot
 path where Python is justified: codec libraries are not expressible as
 Catalyst expressions).
 
-Codec status: BMP (24-bit uncompressed), WAV (PCM16 mono) and PNG
-(8-bit gray/RGB non-interlaced; stdlib zlib inflate + numpy unfilter
-incl. the Paeth predictor) are REAL codecs implemented here — the
-fixture generator emits genuine .bmp/.wav/.png payloads, and the
-feature/resize paths decode them byte-for-byte like any external tool
-would. Formats needing external libraries (JPEG/FLAC/video codecs) go
-through `_decode_real`, which raises NotImplementedError behind an
-import-try (PIL / soundfile are not in the sandbox image); the
-deterministic fake container covers those rows in tests. decode_media()
-sniffs the payload magic and dispatches — swapping in PIL on a real
-cluster changes ONE branch.
+Codec status: BMP (24-bit uncompressed), WAV (PCM16 mono), PNG (8-bit
+gray/RGB non-interlaced; stdlib zlib inflate + numpy unfilter incl. the
+Paeth predictor) and baseline JPEG (grayscale SOF0 — DCT + canonical
+Huffman, operators/jpeg.py; tables parsed from the file, lossy
+round-trip with PSNR-bounded tests) are REAL codecs implemented here —
+the fixture generator emits genuine .bmp/.wav/.png/.jpg payloads, and
+the feature/resize paths decode them like any external tool would.
+Formats still needing external libraries (color/progressive JPEG, FLAC,
+video codecs) go through `_decode_real`, which raises
+NotImplementedError behind an import-try (PIL / soundfile are not in
+the sandbox image); the deterministic fake container covers those rows
+in tests. decode_media() sniffs the payload magic and dispatches —
+swapping in PIL on a real cluster changes ONE branch.
 
 Scale notes: payloads dominate bytes, so the plan NEVER shuffles them —
 decode is a narrow mapInPandas straight after the scan, features are
@@ -251,6 +253,9 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             payload = encode_bmp24(body.reshape(h, w))
         elif kind == "image" and i % 12 == 3:
             payload = encode_png(body.reshape(h, w))
+        elif kind == "image" and i % 12 == 9:
+            from webalizer_spark.operators.jpeg import encode_jpeg_gray
+            payload = encode_jpeg_gray(body.reshape(h, w), quality=90)
         elif kind == "audio" and i % 2 == 1:
             payload = encode_wav_pcm16(
                 (body.astype(np.int16) - 128) * 256, sr)
@@ -304,6 +309,9 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
     last."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from webalizer_spark.operators.jpeg import decode_jpeg_gray
+        return decode_jpeg_gray(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF":
