@@ -1,0 +1,82 @@
+"""Deterministic sampling / splitting / packing (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webalizer_spark.operators.sampling import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_hash_split_proportions_and_determinism(spark, docs):
+    out = hash_split(docs, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts["valid"] / n - 0.1) < 0.03
+    # deterministic: identical assignment on a re-run and under a
+    # different partitioning (the property randomSplit lacks)
+    a = sorted((r["doc_id"], r["split"]) for r in
+               out.select("doc_id", "split").collect())
+    b = sorted((r["doc_id"], r["split"]) for r in
+               hash_split(docs.repartition(7),
+                          {"train": 0.8, "valid": 0.1, "test": 0.1})
+               .select("doc_id", "split").collect())
+    assert a == b
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"train": 0.5, "test": 0.4})
+
+
+def test_stratified_sample_per_stratum(spark, docs):
+    frac = 0.2
+    out = stratified_sample(docs, frac, "source")
+    tot = {r["source"]: r["n"] for r in docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["source"]: r["n"] for r in out.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in tot.items():
+        assert abs(got.get(src, 0) / n - frac) < 0.06, (src, got.get(src), n)
+    # independent subsets per stratum: hashing (stratum, key) means the
+    # kept key-sets differ between strata (same keys would indicate the
+    # key-only-hash bug)
+    kept = out.groupBy("doc_id").count()
+    assert kept.filter("count > 1").count() == 0   # doc in one stratum only
+
+
+def test_pack_sequences_respects_budget(spark, docs):
+    sized = docs.withColumn("n_tokens", F.size(F.split("text", " ")))
+    budget = 2000
+    packed = pack_sequences(sized, budget, num_partitions=8)
+    assert packed.count() == docs.count()          # every doc packed once
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.count(F.lit(1)).alias("docs"),
+        F.max("n_tokens").alias("mx"))
+    # a bin only exceeds the budget when a single oversized doc owns it
+    bad = per_bin.filter((F.col("tot") > budget) & (F.col("docs") > 1))
+    assert bad.count() == 0
+    # packing is efficient: mean fill of multi-doc bins is high
+    fill = per_bin.filter(F.col("docs") > 1).agg(
+        F.avg("tot").alias("avg")).collect()[0]["avg"]
+    assert fill is None or fill > 0.5 * budget
+    # deterministic re-run
+    a = sorted((r["doc_id"], r["bin_id"]) for r in
+               packed.select("doc_id", "bin_id").collect())
+    b = sorted((r["doc_id"], r["bin_id"]) for r in
+               pack_sequences(sized, budget, num_partitions=8)
+               .select("doc_id", "bin_id").collect())
+    assert a == b

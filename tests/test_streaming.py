@@ -103,3 +103,33 @@ def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
     assert got[("a", 2)] == (False, 1)   # resumed same session
     assert got[("b", 1)] == (True, 2)    # timeout -> new session
     assert got[("c", 0)] == (True, 1)    # unseen conv starts at 1
+
+
+def test_streaming_multi_format_parse_matches_batch(spark, transcripts,
+                                                    fixture_dir):
+    """S2 under Structured Streaming: the multi-format parse is a
+    stateless projection, so readStream -> parse -> aggregate equals the
+    batch result exactly. In streaming the W3C field order must come
+    from config (auto_w3c=False) — an unbounded stream cannot scan ahead
+    for #Fields: directive rows, mirroring the reference's LogType
+    config for continuous input."""
+    from webalizer_spark.operators.parse import parse_transcripts_multi
+
+    schema = transcripts.schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "transcripts.parquet")
+              .parquet(fixture_dir))
+    agg = (parse_transcripts_multi(stream, auto_w3c=False)
+           .filter(F.col("parse_ok"))
+           .groupBy("status").agg(F.count(F.lit(1)).alias("hits")))
+    q = _run_stream(agg, "parse_stream")
+    try:
+        got = {r["status"]: r["hits"]
+               for r in spark.sql("select * from parse_stream").collect()}
+        batch = parse_transcripts_multi(transcripts, auto_w3c=False)
+        want = {r["status"]: r["hits"]
+                for r in batch.filter(F.col("parse_ok")).groupBy("status")
+                .agg(F.count(F.lit(1)).alias("hits")).collect()}
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()

@@ -1,0 +1,125 @@
+"""Deterministic sampling, splitting, and sequence packing — the
+training-data-pipeline staples downstream of dedup/quality filtering.
+
+All three are engineered for the 100 TB tier:
+
+- hash_split / stratified_sample are pure NARROW projections/filters
+  (md5-bucket arithmetic, no shuffle, no RNG state): the same key maps
+  to the same split/sample decision on any cluster, any partitioning,
+  any run — the property `df.sample()`/`randomSplit()` (seeded per
+  partition) cannot give under repartitioning.
+- pack_sequences shuffles ONCE (range partition by size) and then packs
+  each partition independently in an Arrow-batched pass; bin ids are
+  globally unique without any driver coordination.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(col: Column, salt: str) -> Column:
+    """Deterministic uniform bucket in [0, 1e6) from md5(salt|key) —
+    engine-portable (same convention as dedup._hash64)."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.lit(salt), col.cast("string"))), 1, 15), 16, 10)
+    return h.cast("bigint") % _BUCKETS
+
+
+def hash_split(df: DataFrame, weights: dict[str, float],
+               key_col: str = "doc_id", salt: str = "split") -> DataFrame:
+    """Deterministic train/valid/test split: adds a `split` column.
+
+    Same key -> same split, forever, on any engine — no RNG, no shuffle
+    (one narrow projection). Weights must sum to 1; boundaries are
+    cumulative bucket thresholds, so changing one weight only moves
+    keys across the adjacent boundary.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1 (got {total})")
+    b = _bucket(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < int(round(cum * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, fraction: float, strata_col: str,
+                      key_col: str = "doc_id",
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic per-stratum sampling: keeps ~fraction of every
+    stratum (language, source, quality band...). The bucket hashes
+    (stratum, key) so each stratum draws an INDEPENDENT subset — hashing
+    the key alone would select the same keys in every stratum. Pure
+    narrow filter; reproducible across runs and engines."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    b = _bucket(F.concat_ws("|", F.col(strata_col).cast("string"),
+                            F.col(key_col).cast("string")), salt)
+    return df.filter(b < int(round(fraction * _BUCKETS)))
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   token_col: str = "n_tokens", id_col: str = "doc_id",
+                   num_partitions: int = 32) -> DataFrame:
+    """Greedy first-fit packing of documents into token-budget bins —
+    the sequence-packing step before example concatenation. Adds
+    `bin_id` (globally unique) and `bin_fill` (bin's running total).
+
+    Scale shape: ONE hash-partition shuffle on id (deterministic —
+    repartitionByRange would sample split points non-deterministically),
+    a size-desc sort WITHIN each partition, then each partition packs
+    independently in an Arrow-batched pass (the greedy scan is
+    inherently sequential, so it runs per-partition, not globally); bin
+    ids are `partition_id * 2^40 + local_bin`, unique with zero driver
+    coordination. Deterministic for a given (input, budget,
+    num_partitions). A document larger than the budget gets its own bin
+    (callers split/truncate upstream).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    src = df.select(id_col, token_col) \
+        .repartition(num_partitions, F.col(id_col)) \
+        .sortWithinPartitions(F.col(token_col).desc(), F.col(id_col))
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = pid << 40
+        local_bin, fill = 0, 0
+        first = True
+        for pdf in batches:
+            bins, fills = [], []
+            for tok in pdf[token_col]:
+                t = int(tok)
+                if not first and fill + t > budget:
+                    local_bin += 1
+                    fill = 0
+                first = False
+                fill += t
+                bins.append(base + local_bin)
+                fills.append(fill)
+            out = pdf.copy()
+            out["bin_id"] = pd.Series(bins, dtype="int64", index=pdf.index)
+            out["bin_fill"] = pd.Series(fills, dtype="int64", index=pdf.index)
+            yield out
+
+    schema = f"{id_col} long, {token_col} long, bin_id long, bin_fill long"
+    packed = src.select(F.col(id_col).cast("long"),
+                        F.col(token_col).cast("long")) \
+        .mapInPandas(pack, schema=schema)
+    return df.join(packed.select(id_col, "bin_id", "bin_fill"), id_col)
