@@ -368,3 +368,24 @@ def test_lsh_signature_strategies_agree(spark):
         exp = sorted(map(tuple, _lsh_signatures_explode(
             emb, planes, 64, "vec_id", "embedding", tables).collect()))
         assert lit == exp and len(lit) == 500 * tables
+
+
+def test_lsh_signature_paths_agree_on_short_vectors(spark):
+    """Vectors shorter than dim (or with NULL elements) must produce the
+    SAME signature on both physical paths: the literal fold skips
+    missing terms like SQL SUM skips NULLs — a NULL-poisoned fold would
+    silently zero every plane."""
+    from webalizer_spark.operators.similarity import (
+        _lsh_signatures_explode,
+        lsh_signatures,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, [0.25] * 32), (3, [1.0] * 8)],
+        "vec_id long, embedding array<float>")
+    lit = sorted(map(tuple, lsh_signatures(
+        emb, 4, 64, num_tables=2).collect()))
+    exp = sorted(map(tuple, _lsh_signatures_explode(
+        emb, 4, 64, "vec_id", "embedding", 2).collect()))
+    assert lit == exp
+    assert all(sig != 0 for _, _, sig in lit)   # not NULL-poisoned

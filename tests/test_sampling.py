@@ -48,8 +48,11 @@ def test_stratified_sample_per_stratum(spark, docs):
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     got = {r["source"]: r["n"] for r in out.groupBy("source")
            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # per-stratum tolerance sized for binomial noise at ~250-row strata
+    # (sigma ~ 2.5%); the overall fraction is much tighter
     for src, n in tot.items():
-        assert abs(got.get(src, 0) / n - frac) < 0.06, (src, got.get(src), n)
+        assert abs(got.get(src, 0) / n - frac) < 0.09, (src, got.get(src), n)
+    assert abs(sum(got.values()) / sum(tot.values()) - frac) < 0.02
     # independent subsets per stratum: hashing (stratum, key) means the
     # kept key-sets differ between strata (same keys would indicate the
     # key-only-hash bug)

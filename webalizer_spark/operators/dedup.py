@@ -31,6 +31,11 @@ def _cap_hot_keys(keys: DataFrame, key_cols: list[str], cap: int | None,
     key table — tiny next to the join it protects)."""
     if cap is None:
         return keys
+    # materialize the key table ONCE (it may sit on an expensive plan —
+    # e.g. the full LSH signature projection): the count, the anti-join
+    # left side, and the hot-key derivation all read the checkpoint
+    # instead of re-running the lineage three times
+    keys = keys.localCheckpoint(eager=True)
     hot = (keys.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
            .filter(F.col("_n") > cap)
            .select(*key_cols))

@@ -234,10 +234,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     """Deterministic media fixture. Image rows rotate through REAL
-    24-bit BMPs, REAL Paeth-filtered PNGs and the fake container; half
-    the audio rows are REAL PCM16 WAVs; the rest use the
-    self-describing fake container (standing in for PIL-only formats
-    like JPEG)."""
+    24-bit BMPs (i%6==0), REAL Paeth-filtered PNGs (i%12==3), REAL
+    baseline JPEGs (i%24==9) and the fake container (i%24==21, keeping
+    the _decode_fake image branch fixture-covered); half the audio rows
+    are REAL PCM16 WAVs; the rest use the self-describing fake
+    container (standing in for PIL-only formats)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -253,7 +254,7 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             payload = encode_bmp24(body.reshape(h, w))
         elif kind == "image" and i % 12 == 3:
             payload = encode_png(body.reshape(h, w))
-        elif kind == "image" and i % 12 == 9:
+        elif kind == "image" and i % 24 == 9:
             from webalizer_spark.operators.jpeg import encode_jpeg_gray
             payload = encode_jpeg_gray(body.reshape(h, w), quality=90)
         elif kind == "audio" and i % 2 == 1:
@@ -311,7 +312,13 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         from webalizer_spark.operators.jpeg import decode_jpeg_gray
-        return decode_jpeg_gray(payload)
+        try:
+            return decode_jpeg_gray(payload)
+        except ValueError:
+            # color/progressive/corrupt JPEG: fall through to the
+            # external-library path (PIL decodes it on a real cluster;
+            # in-sandbox it raises and the row routes as corrupt)
+            return _decode_real(payload, kind), ()
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF":

@@ -8,9 +8,9 @@ All three are engineered for the 100 TB tier:
   to the same split/sample decision on any cluster, any partitioning,
   any run — the property `df.sample()`/`randomSplit()` (seeded per
   partition) cannot give under repartitioning.
-- pack_sequences shuffles ONCE (range partition by size) and then packs
-  each partition independently in an Arrow-batched pass; bin ids are
-  globally unique without any driver coordination.
+- pack_sequences shuffles ONCE (deterministic hash partition on id) and
+  then packs each partition independently in an Arrow-batched pass; bin
+  ids are globally unique without any driver coordination.
 """
 
 from __future__ import annotations
@@ -67,7 +67,10 @@ def stratified_sample(df: DataFrame, fraction: float, strata_col: str,
     narrow filter; reproducible across runs and engines."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    b = _bucket(F.concat_ws("|", F.col(strata_col).cast("string"),
+    # md5 the stratum before concatenating: hex digests contain no '|',
+    # so a delimiter inside stratum values cannot collide two (stratum,
+    # key) pairs into the same hash input
+    b = _bucket(F.concat_ws("|", F.md5(F.col(strata_col).cast("string")),
                             F.col(key_col).cast("string")), salt)
     return df.filter(b < int(round(fraction * _BUCKETS)))
 
@@ -75,7 +78,8 @@ def stratified_sample(df: DataFrame, fraction: float, strata_col: str,
 def pack_sequences(df: DataFrame, budget: int,
                    token_col: str = "n_tokens", id_col: str = "doc_id",
                    num_partitions: int = 32) -> DataFrame:
-    """Greedy first-fit packing of documents into token-budget bins —
+    """Greedy next-fit-decreasing packing (one open bin per partition,
+    closed when the next doc would overflow) into token-budget bins —
     the sequence-packing step before example concatenation. Adds
     `bin_id` (globally unique) and `bin_fill` (bin's running total).
 
@@ -118,8 +122,13 @@ def pack_sequences(df: DataFrame, budget: int,
             out["bin_fill"] = pd.Series(fills, dtype="int64", index=pdf.index)
             yield out
 
-    schema = f"{id_col} long, {token_col} long, bin_id long, bin_fill long"
-    packed = src.select(F.col(id_col).cast("long"),
+    # carry the id through in its ORIGINAL type (string UUIDs etc.): a
+    # hardcoded long cast would NULL them out and the final join would
+    # silently return nothing
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, {token_col} long,"
+              " bin_id long, bin_fill long")
+    packed = src.select(F.col(id_col),
                         F.col(token_col).cast("long")) \
         .mapInPandas(pack, schema=schema)
     return df.join(packed.select(id_col, "bin_id", "bin_fill"), id_col)

@@ -110,10 +110,15 @@ def _lsh_signatures_literal(emb: DataFrame, num_planes: int, dim: int,
         for j in range(num_planes):
             arr = "array(" + ",".join(
                 f"{_lsh_weight(t, j, i):.1f}D" for i in range(dim)) + ")"
+            # coalesce(v, 0) skips missing terms the way SQL SUM skips
+            # NULLs, so short/NULL-element vectors produce the SAME
+            # signature as the explode path (element_at -> NULL -> SUM
+            # ignores) instead of a NULL-poisoned all-zero signature
             proj = (f"aggregate(zip_with({vec_col}, {arr}, "
                     f"(x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,12))), "
                     f"CAST(0 AS DECIMAL(18,12)), "
-                    f"(acc, v) -> CAST(acc + v AS DECIMAL(18,12)))")
+                    f"(acc, v) -> CAST(acc + coalesce(v, CAST(0 AS DECIMAL(18,12)))"
+                    f" AS DECIMAL(18,12)))")
             terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** j}L ELSE 0L END)")
         structs.append(f"named_struct('t', {t}, 'sig', "
                        + " + ".join(terms) + ")")
@@ -138,7 +143,10 @@ def _lsh_signatures_explode(emb: DataFrame, num_planes: int, dim: int,
             16, 10).cast("bigint") % 2 == 0,
         F.lit(1.0)).otherwise(F.lit(-1.0))
     w = planes.crossJoin(dims).withColumn("wt", wt)
-    x = (F.element_at(vec_col, F.col("i") + 1).cast("double")
+    # try_element_at: out-of-range dims (vector shorter than dim) yield
+    # NULL and SUM skips them — matching the literal path's coalesce(0)
+    # fold; plain element_at throws under ANSI semantics
+    x = (F.try_element_at(vec_col, F.col("i") + 1).cast("double")
          * F.col("wt")).cast("decimal(18,12)")
     proj = (emb.crossJoin(F.broadcast(w))
             .groupBy(id_col, "t", "j").agg(F.sum(x).alias("p")))

@@ -212,7 +212,8 @@ def resume_filter(df: DataFrame, ckpt: CheckpointPaths,
     """
     wm = F.lit(load_manifest(ckpt)["watermark"]).cast("timestamp")
     if keep_directives:
-        directive = F.col(text_col).startswith("#")
+        directive = F.coalesce(F.col(text_col).startswith("#"),
+                               F.lit(False))
         if not fold_seq_err:
             return df.filter((F.col(ts_col) > wm) | directive)
         return (df.withColumn(
