@@ -58,3 +58,25 @@ def test_share_pct(spark):
     df = spark.createDataFrame([(25, 100)], "m int, t int")
     got = df.select(share_pct(F.col("m"), F.col("t")).alias("p")).collect()[0]["p"]
     assert got == 25.0
+
+
+def test_redact_pii(spark):
+    from webalizer_spark.functions.scalars import redact
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk thanks"),
+        (2, "server 192.168.1.200 responded"),
+        (3, "card 4111 1111 1111 1111 exp 12/26"),
+        (4, "call +1 (555) 123-4567 now"),
+        (5, "ssn 123-45-6789 on file"),
+        (6, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r["red"] for r in
+           df.select("id", redact(F.col("text")).alias("red")).collect()}
+    assert got[1] == "contact me at <EMAIL> thanks"
+    assert got[2] == "server <IP> responded"
+    assert "<CARD>" in got[3] and "4111" not in got[3]
+    assert "<PHONE>" in got[4] and "555" not in got[4]
+    assert got[5] == "ssn <SSN> on file"
+    assert got[6] == rows[5][1]

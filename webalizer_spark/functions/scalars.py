@@ -74,3 +74,34 @@ def kbytes(bytes_col: Column) -> Column:
 def share_pct(metric: Column, total: Column) -> Column:
     """Percent-of-total share [output.c/graphs.c pie math]."""
     return F.when(total > 0, metric.cast("double") * 100.0 / total).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline op — beyond the reference)
+# ---------------------------------------------------------------------------
+
+# Order matters: more specific patterns run first so e.g. an email is
+# replaced before the bare-domain rule could chew its tail. Each entry is
+# (placeholder, regex); all are single-pass regexp_replace — JVM-side,
+# whole-stage-codegen, no UDF.
+REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("<CARD>", r"\b(?:\d[ -]?){13,18}\d\b"),
+    ("<PHONE>", r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}\b"),
+    ("<SSN>", r"\b\d{3}-\d{2}-\d{4}\b"),
+)
+
+
+def redact(text: Column,
+           patterns: tuple[tuple[str, str], ...] = REDACT_PATTERNS) -> Column:
+    """PII scrubbing for corpus text: replace emails / IPs / card-like /
+    phone-like / SSN-like spans with typed placeholders. Pure chained
+    regexp_replace — one codegen'd pass per pattern, no Python, order
+    as given (specific before general). Conservative by design: typed
+    placeholders keep the token count stable and make scrub rates
+    auditable with a LIKE count."""
+    out = text
+    for placeholder, pattern in patterns:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
