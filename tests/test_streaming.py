@@ -133,3 +133,27 @@ def test_streaming_multi_format_parse_matches_batch(spark, transcripts,
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_streaming_error_routing_matches_batch(spark, transcripts,
+                                               fixture_dir):
+    """S4 under Structured Streaming: ok/bad routing is a stateless
+    split, so streaming error counts (total + per-conv) equal batch
+    exactly — the errors-sink twin for continuous ingestion."""
+    schema = transcripts.schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "transcripts.parquet")
+              .parquet(fixture_dir))
+    bad = (parse_transcripts(stream).filter(~F.col("parse_ok"))
+           .groupBy("conv_id").agg(F.count(F.lit(1)).alias("bad")))
+    q = _run_stream(bad, "err_stream")
+    try:
+        got = {r["conv_id"]: r["bad"]
+               for r in spark.sql("select * from err_stream").collect()}
+        want = {r["conv_id"]: r["bad"] for r in
+                parse_transcripts(transcripts).filter(~F.col("parse_ok"))
+                .groupBy("conv_id").agg(F.count(F.lit(1)).alias("bad"))
+                .collect()}
+        assert got == want and sum(want.values()) > 0
+    finally:
+        q.stop()
