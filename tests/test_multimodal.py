@@ -175,3 +175,44 @@ def test_fixture_contains_real_jpeg(spark, media):
         got = feats[feats["media_id"] == r["media_id"]].iloc[0]
         assert bool(got["ok"]) and got["decoded_shape"] == f"{h}x{w}"
         assert abs(got["mean_val"] - float(arr.mean())) < 1e-12
+
+
+def test_y4m_codec_round_trip():
+    """YUV4MPEG2 is a REAL container (plain-text header + raw planes —
+    any ffmpeg reads our output): byte-exact luma round-trip, chroma
+    format and truncation refused."""
+    from webalizer_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (5, 12, 16), dtype=np.uint8)
+    enc = encode_y4m(frames)
+    dec, shape = decode_y4m(enc)
+    assert shape == (5, 12, 16) and (dec == frames).all()
+
+    with pytest.raises(ValueError, match="not a y4m"):
+        decode_y4m(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="chroma"):
+        decode_y4m(enc.replace(b"C420jpeg", b"C444    ", 1))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(enc[:-10])
+    with pytest.raises(ValueError, match="even"):
+        encode_y4m(rng.integers(0, 256, (2, 7, 8), dtype=np.uint8))
+
+
+def test_fixture_contains_real_y4m_and_frame_sampling(spark, media):
+    """The fixture ships genuine y4m video payloads; Spark frame
+    sampling walks their REAL frames (count and means match a local
+    decode)."""
+    from webalizer_spark.operators.multimodal import decode_y4m
+
+    rows = media.select("media_id", "kind", "payload").collect()
+    y4m = [r for r in rows if bytes(r["payload"][:9]) == b"YUV4MPEG2"]
+    assert len(y4m) > 0
+    sampled = sample_frames(media, every=4).toPandas()
+    for r in y4m:
+        arr, (nf, _h, _w) = decode_y4m(bytes(r["payload"]))
+        got = sampled[sampled["media_id"] == r["media_id"]] \
+            .sort_values("frame_idx")
+        assert list(got["frame_idx"]) == list(range(0, nf, 4))
+        for fi, fm in zip(got["frame_idx"], got["frame_mean"]):
+            assert abs(fm - float(arr[fi].mean())) < 1e-12

@@ -13,8 +13,9 @@ Huffman, operators/jpeg.py; tables parsed from the file, lossy
 round-trip with PSNR-bounded tests) are REAL codecs implemented here —
 the fixture generator emits genuine .bmp/.wav/.png/.jpg payloads, and
 the feature/resize paths decode them like any external tool would.
+Video ships as REAL YUV4MPEG2 (C420 luma) streams any ffmpeg reads.
 Formats still needing external libraries (color/progressive JPEG, FLAC,
-video codecs) go through `_decode_real`, which raises
+compressed video codecs) go through `_decode_real`, which raises
 NotImplementedError behind an import-try (PIL / soundfile are not in
 the sandbox image); the deterministic fake container covers those rows
 in tests. decode_media() sniffs the payload magic and dispatches —
@@ -200,6 +201,63 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     return np.ascontiguousarray(img), (h, w)
 
 
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Encode (nf, h, w) uint8 grayscale frames as a REAL YUV4MPEG2
+    (C420jpeg) stream — the Y plane carries the frames, chroma planes
+    are neutral 128. Any ffmpeg/mpv reads the output. Dims must be even
+    (4:2:0 chroma subsampling)."""
+    nf, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("y4m C420 needs even frame dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n"
+    chroma = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    out = bytearray(head.encode("ascii"))
+    for f in frames:
+        out += b"FRAME\n" + f.astype(np.uint8).tobytes() + chroma + chroma
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """Decode a YUV4MPEG2 stream's luma: returns ((nf, h, w) uint8 Y
+    planes, shape). Supports C420* chroma (the default and overwhelmingly
+    common case); per-frame parameter strings after FRAME are tolerated
+    per the spec."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a y4m")
+    nl = payload.index(b"\n")
+    w = h = None
+    chroma = "420jpeg"
+    for tok in payload[:nl].decode("ascii", "replace").split(" ")[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            chroma = tok[1:]
+    if w is None or h is None:
+        raise ValueError("y4m missing W/H header fields")
+    if not chroma.startswith("420"):
+        raise ValueError(f"unsupported y4m chroma C{chroma} (need 4:2:0)")
+    ysz = w * h
+    fsz = ysz + 2 * ((w // 2) * (h // 2))
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad y4m FRAME marker")
+        pos = fnl + 1
+        if pos + fsz > len(payload):
+            raise ValueError("y4m truncated mid-frame")
+        frames.append(np.frombuffer(payload, np.uint8, ysz, pos)
+                      .reshape(h, w))
+        pos += fsz
+    if not frames:
+        raise ValueError("y4m has no frames")
+    arr = np.ascontiguousarray(np.stack(frames))
+    return arr, (len(frames), h, w)
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     """Encode int16 mono samples as a REAL RIFF/WAVE PCM16 file."""
     data = samples.astype("<i2").tobytes()
@@ -237,8 +295,9 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     24-bit BMPs (i%6==0), REAL Paeth-filtered PNGs (i%12==3), REAL
     baseline JPEGs (i%24==9) and the fake container (i%24==21, keeping
     the _decode_fake image branch fixture-covered); half the audio rows
-    are REAL PCM16 WAVs; the rest use the self-describing fake
-    container (standing in for PIL-only formats)."""
+    are REAL PCM16 WAVs and a third of the video rows REAL YUV4MPEG2
+    streams (i%6==2); the rest use the self-describing fake container
+    (standing in for PIL-only formats)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -260,6 +319,10 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
         elif kind == "audio" and i % 2 == 1:
             payload = encode_wav_pcm16(
                 (body.astype(np.int16) - 128) * 256, sr)
+        elif kind == "video" and i % 6 == 2:
+            w2, h2 = max(w // 2 * 2, 8), max(h // 2 * 2, 8)
+            payload = encode_y4m(
+                rng.integers(0, 256, (nf, h2, w2), dtype=np.uint8))
         else:
             payload = (_MAGIC + struct.pack("<IIII", w, h, sr, nf)
                        + body.tobytes())
@@ -310,6 +373,8 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
     last."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:9] == b"YUV4MPEG2":
+        return decode_y4m(payload)
     if payload[:2] == b"\xff\xd8":
         from webalizer_spark.operators.jpeg import decode_jpeg_gray
         try:
@@ -399,8 +464,8 @@ def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
                                           pdf["payload"]):
                 if kind != "video":
                     continue
-                arr, (nf, _) = decode_media(bytes(payload), kind)
-                for fi in range(0, nf, every):
+                arr, shape = decode_media(bytes(payload), kind)
+                for fi in range(0, shape[0], every):
                     out.append((int(mid), fi, float(arr[fi].mean())))
             yield pd.DataFrame(out, columns=["media_id", "frame_idx",
                                              "frame_mean"])
