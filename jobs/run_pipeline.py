@@ -47,7 +47,14 @@ def main() -> None:
                     choices=["split", "regexp", "pandas", "multi"],
                     help="field-extraction strategy; 'multi' dispatches "
                          "per-row on log format (combined/squid/xferlog/w3c)")
-    ap.add_argument("--visit-timeout", type=int, default=1800)
+    ap.add_argument("--visit-timeout", type=int, default=None,
+                    help="seconds of inactivity ending a visit "
+                         "(default 1800; overrides --conf)")
+    ap.add_argument("--conf", default=None,
+                    help="webalizer.conf-style config file (VisitTimeout, "
+                         "Top*, Ignore*/Include*/Hide*/Group*, Dump*, "
+                         "MangleAgents, Incremental) — a reference user's "
+                         "existing conf drives this engine unchanged")
     args = ap.parse_args()
 
     from webalizer_spark import EngineConfig, get_spark
@@ -61,8 +68,25 @@ def main() -> None:
     from webalizer_spark.sources.tables import TableIO
 
     spark = get_spark(app_name="webalizer_spark_pipeline", master="")
-    cfg = EngineConfig(visit_timeout_s=args.visit_timeout,
-                       incremental=args.incremental)
+    if args.conf:
+        from dataclasses import replace
+
+        from webalizer_spark.config import load_conf
+        cfg, unknown = load_conf(args.conf)
+        if unknown:
+            print(f"conf: ignoring {len(unknown)} non-engine keyword(s): "
+                  + " ".join(sorted(set(unknown))))
+        # explicit CLI flags override the conf file
+        overrides = {}
+        if args.visit_timeout is not None:
+            overrides["visit_timeout_s"] = args.visit_timeout
+        if args.incremental:
+            overrides["incremental"] = True
+        if overrides:
+            cfg = replace(cfg, **overrides)
+    else:
+        cfg = EngineConfig(visit_timeout_s=args.visit_timeout or 1800,
+                           incremental=args.incremental)
 
     io_in = TableIO(spark, base_path=args.input)
     tr = io_in.read("transcripts")
@@ -73,7 +97,7 @@ def main() -> None:
 
     t0 = time.time()
     ckpt = CheckpointPaths(args.checkpoint) if args.checkpoint else None
-    resumed = (args.incremental and ckpt is not None
+    resumed = (cfg.incremental and ckpt is not None
                and os.path.exists(ckpt.manifest))
     sessionizer = None
     if resumed:

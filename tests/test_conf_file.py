@@ -1,0 +1,96 @@
+"""webalizer.conf-grammar config file: parser unit tests + a subprocess
+CLI run proving a reference-style conf drives the engine end-to-end."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+from webalizer_spark.config import parse_conf
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SAMPLE = """
+# webalizer.conf excerpt (reference grammar)
+VisitTimeout 900
+TopURLs     5
+TopKSites   3
+MangleAgents 3
+Incremental yes
+IgnoreURL   msg/*
+IncludeURL  msg/keep*
+HideUser    u3*
+GroupURL    py*  python-tools
+GroupReferrer *eng-5*
+DumpURLs    yes
+DumpSites   no
+# presentation-only keywords are ignored with a warning, like the
+# reference warns and continues
+BGColor     #E8E8E8
+HTMLHead    <b>x</b>
+"""
+
+
+def test_parse_conf_reference_grammar():
+    cfg, unknown = parse_conf(SAMPLE)
+    assert cfg.visit_timeout_s == 900
+    assert cfg.topn.urls == 5 and cfg.topn.sites_by_kb == 3
+    assert cfg.mangle_agents == 3 and cfg.incremental is True
+    assert cfg.lists.ignore_url == ("msg/*",)
+    assert cfg.lists.include_url == ("msg/keep*",)
+    assert cfg.lists.hide_user == ("u3*",)
+    assert cfg.lists.group_url == (("py*", "python-tools"),)
+    # label defaults to the pattern when omitted
+    assert cfg.lists.group_referrer == (("*eng-5*", "*eng-5*"),)
+    assert cfg.dumps == ("tools",)
+    assert sorted(unknown) == ["BGColor", "HTMLHead"]
+
+
+def test_parse_conf_defaults_when_empty():
+    cfg, unknown = parse_conf("# nothing\n")
+    assert cfg.visit_timeout_s == 1800 and cfg.topn.urls == 30
+    assert cfg.dumps == () and unknown == []
+
+
+@pytest.mark.parametrize("bad", ["VisitTimeout abc", "TopURLs x"])
+def test_parse_conf_bad_numbers_raise(bad):
+    with pytest.raises(ValueError):
+        parse_conf(bad)
+
+
+def test_cli_conf_file_drives_pipeline(tmp_path):
+    """A conf file alone reshapes the CLI run: TopURLs caps the table,
+    IgnoreURL drops records, GroupURL emits the grouped report, DumpURLs
+    writes the full all_tools dump."""
+    conf = tmp_path / "engine.conf"
+    conf.write_text(
+        "TopURLs 3\nIgnoreURL msg/*\nGroupURL py* python-tools\n"
+        "DumpURLs yes\nBGColor #fff\n")
+    out = str(tmp_path / "out")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
+         "--input", os.path.join(REPO, "_gen", "sf_test"),
+         "--output", out, "--conf", str(conf)],
+        capture_output=True, text=True, timeout=420,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "ignoring" in res.stdout and "BGColor" in res.stdout
+    top = duckdb.sql(
+        f"SELECT * FROM '{out}/reports/top_tools/*.parquet'").df()
+    assert len(top) == 3                                  # TopURLs 3
+    grouped = duckdb.sql(
+        f"SELECT * FROM '{out}/reports/grouped_tools/*.parquet'").df()
+    assert "python-tools" in grouped["group_name"].dropna().tolist()
+    n_all = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{out}/reports/all_tools/*.parquet'"
+    ).fetchone()[0]
+    assert n_all > 3                                      # full dump
+    # IgnoreURL dropped msg/* turns before aggregation
+    n_msg = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{out}/by_role/*/*.parquet' "
+        f"WHERE path LIKE 'msg/%'").fetchone()[0]
+    assert n_msg == 0

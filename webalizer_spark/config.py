@@ -98,3 +98,105 @@ class EngineConfig:
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+
+# ---------------------------------------------------------------------------
+# webalizer.conf-style parser — the reference's config surface, so a
+# reference user's existing conf file drives this engine unchanged
+# [webalizer.c ƒget_config kwords[]; sample.conf grammar: one
+# "Keyword value" per line, '#' comments, Group* takes "pattern [label]"]
+# ---------------------------------------------------------------------------
+
+_TOPN_KEYS = {
+    "topsites": "sites", "topksites": "sites_by_kb",
+    "topurls": "urls", "topkurls": "urls_by_kb",
+    "topreferrers": "referrers", "topagents": "agents",
+    "topcountries": "countries", "topentry": "entry", "topexit": "exit",
+    "topsearch": "search", "topusers": "users",
+}
+
+_LIST_KEYS = {
+    "ignoresite": "ignore_site", "ignoreurl": "ignore_url",
+    "ignorereferrer": "ignore_referrer", "ignoreagent": "ignore_agent",
+    "ignoreuser": "ignore_user",
+    "includesite": "include_site", "includeurl": "include_url",
+    "includereferrer": "include_referrer", "includeagent": "include_agent",
+    "includeuser": "include_user",
+    "hidesite": "hide_site", "hideurl": "hide_url",
+    "hidereferrer": "hide_referrer", "hideagent": "hide_agent",
+    "hideuser": "hide_user",
+}
+
+_GROUP_KEYS = {
+    "groupsite": "group_site", "groupurl": "group_url",
+    "groupreferrer": "group_referrer", "groupagent": "group_agent",
+    "groupuser": "group_user",
+}
+
+_DUMP_KEYS = {
+    "dumpsites": "sites", "dumpurls": "tools", "dumpagents": "agents",
+    "dumpreferrers": "referrers", "dumpusers": "users",
+    "dumpsearchstr": "search",
+}
+
+_BOOL = {"yes": True, "no": False, "true": True, "false": False,
+         "1": True, "0": False}
+
+
+def parse_conf(text: str) -> tuple[EngineConfig, list[str]]:
+    """Parse webalizer.conf-grammar text into an EngineConfig.
+
+    Returns (config, unknown_keywords). Unknown keywords are collected,
+    not fatal — the reference likewise warns and continues; callers log
+    them (presentation-only keywords like colors land here by design).
+    """
+    topn: dict[str, int] = {}
+    lists: dict[str, tuple] = {}
+    groups: dict[str, tuple] = {}
+    dumps: list[str] = []
+    scalar: dict[str, object] = {}
+    unknown: list[str] = []
+
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(None, 1)
+        key = parts[0].lower()
+        val = parts[1].strip() if len(parts) > 1 else ""
+        if key == "visittimeout":
+            scalar["visit_timeout_s"] = int(val)
+        elif key == "mangleagents":
+            scalar["mangle_agents"] = int(val)
+        elif key == "incremental":
+            scalar["incremental"] = _BOOL.get(val.lower(), False)
+        elif key in _TOPN_KEYS:
+            topn[_TOPN_KEYS[key]] = int(val)
+        elif key in _LIST_KEYS:
+            f = _LIST_KEYS[key]
+            lists[f] = lists.get(f, ()) + (val,)
+        elif key in _GROUP_KEYS:
+            f = _GROUP_KEYS[key]
+            # "pattern [label]" — label defaults to the pattern
+            bits = val.split(None, 1)
+            pattern = bits[0]
+            label = bits[1].strip() if len(bits) > 1 else pattern
+            groups[f] = groups.get(f, ()) + ((pattern, label),)
+        elif key in _DUMP_KEYS:
+            if _BOOL.get(val.lower(), False):
+                dumps.append(_DUMP_KEYS[key])
+        else:
+            unknown.append(parts[0])
+
+    cfg = EngineConfig(
+        topn=TopN(**topn),
+        lists=WildcardLists(**lists, **groups),
+        dumps=tuple(dumps),
+        **scalar,
+    )
+    return cfg, unknown
+
+
+def load_conf(path: str) -> tuple[EngineConfig, list[str]]:
+    with open(path) as f:
+        return parse_conf(f.read())
