@@ -68,25 +68,25 @@ def main() -> None:
     from webalizer_spark.sources.tables import TableIO
 
     spark = get_spark(app_name="webalizer_spark_pipeline", master="")
-    if args.conf:
-        from dataclasses import replace
+    from dataclasses import replace
 
+    if args.conf:
         from webalizer_spark.config import load_conf
         cfg, unknown = load_conf(args.conf)
         if unknown:
             print(f"conf: ignoring {len(unknown)} non-engine keyword(s): "
                   + " ".join(sorted(set(unknown))))
-        # explicit CLI flags override the conf file
-        overrides = {}
-        if args.visit_timeout is not None:
-            overrides["visit_timeout_s"] = args.visit_timeout
-        if args.incremental:
-            overrides["incremental"] = True
-        if overrides:
-            cfg = replace(cfg, **overrides)
     else:
-        cfg = EngineConfig(visit_timeout_s=args.visit_timeout or 1800,
-                           incremental=args.incremental)
+        cfg = EngineConfig()
+    # explicit CLI flags override the conf file (is-not-None checks so an
+    # explicit --visit-timeout 0 is honored, not treated as unset)
+    overrides = {}
+    if args.visit_timeout is not None:
+        overrides["visit_timeout_s"] = args.visit_timeout
+    if args.incremental:
+        overrides["incremental"] = True
+    if overrides:
+        cfg = replace(cfg, **overrides)
 
     io_in = TableIO(spark, base_path=args.input)
     tr = io_in.read("transcripts")

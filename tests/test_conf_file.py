@@ -62,6 +62,26 @@ def test_parse_conf_bad_numbers_raise(bad):
         parse_conf(bad)
 
 
+def test_parse_conf_valueless_lines_warn_not_crash():
+    """A dangling keyword (no value) is conf noise: warn and continue
+    like the reference — and never become an empty pattern that would
+    substring-match everything."""
+    cfg, unknown = parse_conf(
+        "GroupURL\nIgnoreURL\nVisitTimeout\nTopURLs 7\n")
+    assert sorted(unknown) == ["GroupURL", "IgnoreURL", "VisitTimeout"]
+    assert cfg.lists.ignore_url == () and cfg.lists.group_url == ()
+    assert cfg.topn.urls == 7
+
+
+def test_parse_conf_dump_last_wins():
+    """Dump* follows the same last-directive-wins override semantics as
+    every scalar keyword; duplicates never double the dump plan."""
+    cfg, _ = parse_conf("DumpURLs yes\nDumpURLs no\n")
+    assert cfg.dumps == ()
+    cfg, _ = parse_conf("DumpURLs yes\nDumpURLs yes\nDumpSites no\n")
+    assert cfg.dumps == ("tools",)
+
+
 def test_cli_conf_file_drives_pipeline(tmp_path):
     """A conf file alone reshapes the CLI run: TopURLs caps the table,
     IgnoreURL drops records, GroupURL emits the grouped report, DumpURLs

@@ -80,3 +80,25 @@ def test_redact_pii(spark):
     assert "<PHONE>" in got[4] and "555" not in got[4]
     assert got[5] == "ssn <SSN> on file"
     assert got[6] == rows[5][1]
+
+
+def test_redact_leaves_non_pii_numerics_alone(spark):
+    """Log corpora are full of bare digit runs (epoch millis, numeric
+    ids, compact timestamps) — redaction must NOT mangle them; only
+    structured phone/card shapes match."""
+    from webalizer_spark.functions.scalars import redact
+
+    rows = [
+        (1, "epoch 1706782800000 ms"),
+        (2, "order id 123456789"),
+        (3, "ts 20240201100000 compact"),
+        (4, "bytes 4096 status 200"),
+        (5, "contiguous card 4111111111111111 though"),
+        (6, "local phone (555) 123-4567 though"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r["red"] for r in
+           df.select("id", redact(F.col("text")).alias("red")).collect()}
+    for i in (1, 2, 3, 4):
+        assert got[i] == rows[i - 1][1], got[i]     # untouched
+    assert "<CARD>" in got[5] and "<PHONE>" in got[6]

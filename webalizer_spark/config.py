@@ -153,10 +153,13 @@ def parse_conf(text: str) -> tuple[EngineConfig, list[str]]:
     topn: dict[str, int] = {}
     lists: dict[str, tuple] = {}
     groups: dict[str, tuple] = {}
-    dumps: list[str] = []
+    dump_flags: dict[str, bool] = {}
     scalar: dict[str, object] = {}
     unknown: list[str] = []
 
+    known = ({"visittimeout", "mangleagents", "incremental"}
+             | _TOPN_KEYS.keys() | _LIST_KEYS.keys()
+             | _GROUP_KEYS.keys() | _DUMP_KEYS.keys())
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line.startswith("#"):
@@ -164,6 +167,12 @@ def parse_conf(text: str) -> tuple[EngineConfig, list[str]]:
         parts = line.split(None, 1)
         key = parts[0].lower()
         val = parts[1].strip() if len(parts) > 1 else ""
+        if key in known and not val:
+            # malformed (valueless) line: warn and continue, like the
+            # reference tolerates conf noise — an empty Ignore*/Hide*
+            # pattern would otherwise match EVERYTHING (substring "")
+            unknown.append(parts[0])
+            continue
         if key == "visittimeout":
             scalar["visit_timeout_s"] = int(val)
         elif key == "mangleagents":
@@ -183,15 +192,17 @@ def parse_conf(text: str) -> tuple[EngineConfig, list[str]]:
             label = bits[1].strip() if len(bits) > 1 else pattern
             groups[f] = groups.get(f, ()) + ((pattern, label),)
         elif key in _DUMP_KEYS:
-            if _BOOL.get(val.lower(), False):
-                dumps.append(_DUMP_KEYS[key])
+            # last-wins like every scalar keyword: a later "DumpURLs no"
+            # disables an earlier "yes" (the standard conf override
+            # pattern), and duplicates cannot double the dump plan
+            dump_flags[_DUMP_KEYS[key]] = _BOOL.get(val.lower(), False)
         else:
             unknown.append(parts[0])
 
     cfg = EngineConfig(
         topn=TopN(**topn),
         lists=WildcardLists(**lists, **groups),
-        dumps=tuple(dumps),
+        dumps=tuple(f for f, on in dump_flags.items() if on),
         **scalar,
     )
     return cfg, unknown

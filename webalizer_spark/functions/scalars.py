@@ -87,8 +87,15 @@ def share_pct(metric: Column, total: Column) -> Column:
 REDACT_PATTERNS: tuple[tuple[str, str], ...] = (
     ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
-    ("<CARD>", r"\b(?:\d[ -]?){13,18}\d\b"),
-    ("<PHONE>", r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}\b"),
+    # CARD: grouped 4-4-4-N, or contiguous 13-19 digits starting with a
+    # card-network prefix (3-6). A bare \d{13,19} would eat compact
+    # timestamps (20240201100000) and numeric ids — log corpora are full
+    # of those, and silently mangling them is worse than missing an
+    # unusually-formatted card.
+    ("<CARD>", r"\b(?:\d{4}[ -]){3}\d{1,7}\b|\b[3-6]\d{12,18}\b"),
+    # PHONE: separators/parens are REQUIRED between groups so epoch
+    # millis (1706782800000) and order ids never match.
+    ("<PHONE>", r"(?:\+\d{1,3}[ .-]?)?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b"),
     ("<SSN>", r"\b\d{3}-\d{2}-\d{4}\b"),
 )
 

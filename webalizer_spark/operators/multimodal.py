@@ -295,7 +295,7 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     24-bit BMPs (i%6==0), REAL Paeth-filtered PNGs (i%12==3), REAL
     baseline JPEGs (i%24==9) and the fake container (i%24==21, keeping
     the _decode_fake image branch fixture-covered); half the audio rows
-    are REAL PCM16 WAVs and a third of the video rows REAL YUV4MPEG2
+    are REAL PCM16 WAVs and half the video rows REAL YUV4MPEG2
     streams (i%6==2); the rest use the self-describing fake container
     (standing in for PIL-only formats)."""
     rng = np.random.default_rng(seed)
