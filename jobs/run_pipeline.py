@@ -31,6 +31,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def resolve_config(conf_path: str | None, visit_timeout: int | None,
+                   incremental: bool | None):
+    """Conf file + CLI override resolution: explicit CLI flags override
+    the conf file in BOTH directions (--no-incremental defeats an
+    'Incremental yes'; --visit-timeout 0 is honored, not treated as
+    unset). Returns (cfg, unknown_keywords)."""
+    from dataclasses import replace
+
+    from webalizer_spark import EngineConfig
+
+    unknown: list[str] = []
+    if conf_path:
+        from webalizer_spark.config import load_conf
+        cfg, unknown = load_conf(conf_path)
+    else:
+        cfg = EngineConfig()
+    overrides = {}
+    if visit_timeout is not None:
+        overrides["visit_timeout_s"] = visit_timeout
+    if incremental is not None:
+        overrides["incremental"] = incremental
+    if overrides:
+        cfg = replace(cfg, **overrides)
+    return cfg, unknown
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
@@ -40,7 +66,11 @@ def main() -> None:
                     help="dimension tables location (default: same as input)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--incremental", action="store_true")
+    ap.add_argument("--incremental", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="resume from checkpoint; --no-incremental disables "
+                         "an 'Incremental yes' from --conf (explicit CLI "
+                         "flags override the conf file in both directions)")
     ap.add_argument("--skew-safe", action="store_true",
                     help="use the range-partitioned sessionization path")
     ap.add_argument("--grok", default="split",
@@ -57,7 +87,7 @@ def main() -> None:
                          "existing conf drives this engine unchanged")
     args = ap.parse_args()
 
-    from webalizer_spark import EngineConfig, get_spark
+    from webalizer_spark import get_spark
     from webalizer_spark.plans.checkpoint import (
         CheckpointPaths,
         resume_filter,
@@ -68,25 +98,11 @@ def main() -> None:
     from webalizer_spark.sources.tables import TableIO
 
     spark = get_spark(app_name="webalizer_spark_pipeline", master="")
-    from dataclasses import replace
-
-    if args.conf:
-        from webalizer_spark.config import load_conf
-        cfg, unknown = load_conf(args.conf)
-        if unknown:
-            print(f"conf: ignoring {len(unknown)} non-engine keyword(s): "
-                  + " ".join(sorted(set(unknown))))
-    else:
-        cfg = EngineConfig()
-    # explicit CLI flags override the conf file (is-not-None checks so an
-    # explicit --visit-timeout 0 is honored, not treated as unset)
-    overrides = {}
-    if args.visit_timeout is not None:
-        overrides["visit_timeout_s"] = args.visit_timeout
-    if args.incremental:
-        overrides["incremental"] = True
-    if overrides:
-        cfg = replace(cfg, **overrides)
+    cfg, unknown = resolve_config(args.conf, args.visit_timeout,
+                                  args.incremental)
+    if unknown:
+        print(f"conf: ignoring {len(unknown)} non-engine keyword(s): "
+              + " ".join(sorted(set(unknown))))
 
     io_in = TableIO(spark, base_path=args.input)
     tr = io_in.read("transcripts")

@@ -57,9 +57,20 @@ def test_parse_conf_defaults_when_empty():
 
 
 @pytest.mark.parametrize("bad", ["VisitTimeout abc", "TopURLs x"])
-def test_parse_conf_bad_numbers_raise(bad):
-    with pytest.raises(ValueError):
-        parse_conf(bad)
+def test_parse_conf_bad_numbers_warn_not_crash(bad):
+    """Non-numeric values for numeric keywords are conf noise: the
+    reference's atoi-style parse never aborts — warn and keep defaults."""
+    cfg, unknown = parse_conf(bad)
+    assert cfg.visit_timeout_s == 1800 and cfg.topn.urls == 30
+    assert unknown == [bad.split()[0]]
+
+
+def test_parse_conf_numeric_takes_first_token():
+    """An inline comment after a number still parses (atoi semantics):
+    'VisitTimeout 900 # 15min' -> 900, not a crash."""
+    cfg, unknown = parse_conf("VisitTimeout 900 # 15min\nTopURLs 5 extra\n")
+    assert cfg.visit_timeout_s == 900 and cfg.topn.urls == 5
+    assert unknown == []
 
 
 def test_parse_conf_valueless_lines_warn_not_crash():
@@ -114,3 +125,20 @@ def test_cli_conf_file_drives_pipeline(tmp_path):
         f"SELECT COUNT(*) FROM '{out}/by_role/*/*.parquet' "
         f"WHERE path LIKE 'msg/%'").fetchone()[0]
     assert n_msg == 0
+
+
+def test_cli_overrides_conf_both_directions(tmp_path):
+    """Explicit CLI flags override the conf file in BOTH directions:
+    --no-incremental defeats 'Incremental yes', --incremental enables it
+    over 'Incremental no', and absence of the flag defers to the conf."""
+    from jobs.run_pipeline import resolve_config
+
+    p = tmp_path / "w.conf"
+    p.write_text("Incremental yes\nVisitTimeout 900\n")
+    cfg, _ = resolve_config(str(p), None, None)
+    assert cfg.incremental is True and cfg.visit_timeout_s == 900
+    cfg, _ = resolve_config(str(p), None, False)
+    assert cfg.incremental is False
+    p.write_text("Incremental no\n")
+    cfg, _ = resolve_config(str(p), 0, True)
+    assert cfg.incremental is True and cfg.visit_timeout_s == 0

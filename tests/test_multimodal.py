@@ -216,3 +216,35 @@ def test_fixture_contains_real_y4m_and_frame_sampling(spark, media):
         assert list(got["frame_idx"]) == list(range(0, nf, 4))
         for fi, fm in zip(got["frame_idx"], got["frame_mean"]):
             assert abs(fm - float(arr[fi].mean())) < 1e-12
+
+
+def test_jpeg_marker_tolerance():
+    """Other encoders' legal stream noise must not break decode: 0xFF
+    fill bytes before a marker and standalone TEM markers between
+    segments are skipped (ITU T.81 B.1.1.2), bit-identical result."""
+    from webalizer_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    enc = encode_jpeg_gray(img, quality=90)
+    base, _ = decode_jpeg_gray(enc)
+    # insert a 0xFF fill run and a standalone TEM marker before SOF0
+    sof = enc.find(b"\xff\xc0")
+    noisy = enc[:sof] + b"\xff\xff\xff\x01" + enc[sof:]
+    dec, shape = decode_jpeg_gray(noisy)
+    assert shape == (16, 24) and (dec == base).all()
+
+
+def test_y4m_rejects_odd_dimensions():
+    """A C420 header with odd W/H would floor-divide the chroma plane
+    size and silently shift every later frame; decode refuses it like
+    the encoder does."""
+    from webalizer_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(4)
+    enc = encode_y4m(rng.integers(0, 256, (2, 12, 16), dtype=np.uint8))
+    with pytest.raises(ValueError, match="even"):
+        decode_y4m(enc.replace(b"W16", b"W15", 1))

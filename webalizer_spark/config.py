@@ -142,6 +142,16 @@ _DUMP_KEYS = {
 _BOOL = {"yes": True, "no": False, "true": True, "false": False,
          "1": True, "0": False}
 
+_NUMERIC_KEYS = frozenset({"visittimeout", "mangleagents"} | _TOPN_KEYS.keys())
+
+
+def _first_int(val: str) -> int | None:
+    """atoi-style numeric parse: first whitespace token, or None."""
+    try:
+        return int(val.split(None, 1)[0])
+    except (ValueError, IndexError):
+        return None
+
 
 def parse_conf(text: str) -> tuple[EngineConfig, list[str]]:
     """Parse webalizer.conf-grammar text into an EngineConfig.
@@ -173,14 +183,20 @@ def parse_conf(text: str) -> tuple[EngineConfig, list[str]]:
             # pattern would otherwise match EVERYTHING (substring "")
             unknown.append(parts[0])
             continue
+        if key in _NUMERIC_KEYS and (num := _first_int(val)) is None:
+            # atoi-style tolerance [webalizer.c ƒget_config]: a noisy
+            # numeric value ('900 # 15min' parses; 'abc' does not) must
+            # warn-and-continue, never crash the CLI
+            unknown.append(parts[0])
+            continue
         if key == "visittimeout":
-            scalar["visit_timeout_s"] = int(val)
+            scalar["visit_timeout_s"] = num
         elif key == "mangleagents":
-            scalar["mangle_agents"] = int(val)
+            scalar["mangle_agents"] = num
         elif key == "incremental":
             scalar["incremental"] = _BOOL.get(val.lower(), False)
         elif key in _TOPN_KEYS:
-            topn[_TOPN_KEYS[key]] = int(val)
+            topn[_TOPN_KEYS[key]] = num
         elif key in _LIST_KEYS:
             f = _LIST_KEYS[key]
             lists[f] = lists.get(f, ()) + (val,)

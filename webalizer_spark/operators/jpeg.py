@@ -270,9 +270,17 @@ def decode_jpeg_gray(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker sync")
+        # legal inter-segment 0xFF fill bytes (ITU T.81 B.1.1.2): skip
+        # any run of 0xFF preceding the marker code byte
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            # standalone (length-less) markers: TEM, RSTn outside a scan
+            pos += 2
+            continue
         ln = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4:pos + 2 + ln]
         if marker == 0xFFDB:
@@ -352,6 +360,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
                     break
                 if sym == 0xF0:                   # ZRL
                     k += 16
+                    if k > 64:
+                        raise ValueError("JPEG AC index overflow")
                     continue
                 run, size = sym >> 4, sym & 0x0F
                 k += run

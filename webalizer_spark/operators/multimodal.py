@@ -238,6 +238,10 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int, int]]:
         raise ValueError("y4m missing W/H header fields")
     if not chroma.startswith("420"):
         raise ValueError(f"unsupported y4m chroma C{chroma} (need 4:2:0)")
+    if w % 2 or h % 2:
+        # 4:2:0 floor-division chroma math would silently shift every
+        # subsequent frame's luma; the encoder rejects odd dims too
+        raise ValueError("y4m C420 needs even frame dimensions")
     ysz = w * h
     fsz = ysz + 2 * ((w // 2) * (h // 2))
     pos = nl + 1
@@ -383,7 +387,8 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
             # color/progressive/corrupt JPEG: fall through to the
             # external-library path (PIL decodes it on a real cluster;
             # in-sandbox it raises and the row routes as corrupt)
-            return _decode_real(payload, kind), ()
+            arr = _decode_real(payload, kind)
+            return arr, tuple(arr.shape)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF":
@@ -391,7 +396,8 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
         return samples, (len(samples),)
     if payload[:4] == _MAGIC:
         return _decode_fake(payload, kind)
-    return _decode_real(payload, kind), ()
+    arr = _decode_real(payload, kind)
+    return arr, tuple(arr.shape)
 
 
 FEATURE_SCHEMA = (
