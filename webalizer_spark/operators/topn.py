@@ -29,23 +29,48 @@ def top_n(df: DataFrame, metric: str | Column, key: str | Column,
 
 
 def with_rank(df: DataFrame, metric: str, key: str, n: int) -> DataFrame:
-    """Top-N with an explicit 1-based rank column (report table shape)."""
-    w = Window.orderBy(F.col(metric).desc(), F.col(key).asc())
+    """Top-N with an explicit 1-based rank column (report table shape).
+
+    Scale shape: the N-cut happens FIRST via top_n() — TakeOrderedAndProject,
+    per-partition size-N heaps, no global sort — so rank work is bounded
+    by N, never by input cardinality. Rank itself is computed WITHOUT a
+    partition-less window (which would move the whole input to a single
+    task if ever applied pre-cut): each surviving row's rank is
+    1 + count of cut rows strictly before it in (metric desc, key asc)
+    order, via a broadcast self-join over the <=N-row result. key is
+    unique (it's the upstream groupBy key), so the order is total and
+    ranks are exactly 1..N with deterministic ties.
+    """
+    cut = top_n(df, metric, key, n)
+    other = cut.select(F.col(metric).alias("_rm"), F.col(key).alias("_rk"))
+    before = (F.col("_rm") > F.col(metric)) | (
+        (F.col("_rm") == F.col(metric)) & (F.col("_rk") < F.col(key)))
     return (
-        df.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= n)
+        cut.join(F.broadcast(other), before, "left")
+        .groupBy(*cut.columns)
+        .agg((F.count("_rk") + F.lit(1)).cast("int").alias("rank"))
     )
 
 
 def with_share(df: DataFrame, metric: str, total: float | None = None) -> DataFrame:
     """Append pct share of total — the %-of-total column every reference
-    top-N table prints [output.c table bodies]."""
+    top-N table prints [output.c table bodies].
+
+    The total is a scalar one-row aggregate broadcast back onto the rows
+    (partial aggregation map-side, then a 1-row broadcast nested-loop
+    join) — NOT a partition-less window, which would move the whole
+    table to a single task at scale.
+    """
     if total is not None:
         return df.withColumn(
             "pct", F.round(F.col(metric) * 100.0 / F.lit(total), 4))
-    w = Window.partitionBy()
-    return df.withColumn(
-        "pct", F.round(F.col(metric) * 100.0 / F.sum(metric).over(w), 4))
+    tot = df.agg(F.sum(metric).alias("_share_total"))
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .withColumn("pct", F.round(
+            F.col(metric) * 100.0 / F.col("_share_total"), 4))
+        .drop("_share_total")
+    )
 
 
 def full_dump(df: DataFrame, metric: str, key: str) -> DataFrame:

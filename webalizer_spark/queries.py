@@ -277,14 +277,13 @@ SELECT CAST(rank AS INT) AS rank, user_id, hits, total_value
 FROM r WHERE rank <= 20
 """)
 def evt_top_users_by_value(spark, sf):
-    """T1/T4: deterministic top-N (metric desc, key asc) with rank."""
-    from pyspark.sql import Window
+    """T1/T4: deterministic top-N (metric desc, key asc) with rank.
+    N-cut first, then bounded window-free rank (topn.with_rank)."""
+    from webalizer_spark.operators.topn import with_rank
     agg = _t(spark, sf, "events").groupBy("user_id").agg(
         F.count(F.lit(1)).alias("hits"), _dsum("value").alias("total_value"))
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-    return (agg.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= 20)
-            .select("rank", "user_id", "hits", "total_value"))
+    return with_rank(agg, "total_value", "user_id", 20) \
+        .select("rank", "user_id", "hits", "total_value")
 
 
 @qu("evt_type_share", """
@@ -295,11 +294,10 @@ FROM events GROUP BY event_type
 def evt_type_share(spark, sf):
     """F10: percent-of-total share math [output.c pie tables].
     Ungraded: the pct column is folded into evt_top_event_types."""
-    from pyspark.sql import Window
+    from webalizer_spark.operators.topn import with_share
     agg = _t(spark, sf, "events").groupBy("event_type").agg(
         F.count(F.lit(1)).alias("hits"))
-    return agg.withColumn(
-        "pct", F.round(F.col("hits") * 100.0 / F.sum("hits").over(Window.partitionBy()), 4))
+    return with_share(agg, "hits")
 
 
 @q("evt_json_extract", """
@@ -463,14 +461,14 @@ SELECT CAST(rank AS INT) AS rank, l_partkey, total_qty, hits
 FROM r WHERE rank <= 10
 """)
 def tpch_top_parts(spark, sf):
-    """T2: top-N over a larger key space, deterministic tie-break."""
-    from pyspark.sql import Window
+    """T2: top-N over a larger key space, deterministic tie-break.
+    N-cut first (TakeOrderedAndProject), then bounded window-free rank —
+    no partition-less window over the full part key space."""
+    from webalizer_spark.operators.topn import with_rank
     agg = _t(spark, sf, "lineitem").groupBy("l_partkey").agg(
         _dsum("l_quantity").alias("total_qty"), F.count(F.lit(1)).alias("hits"))
-    w = Window.orderBy(F.col("total_qty").desc(), F.col("l_partkey").asc())
-    return (agg.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= 10)
-            .select("rank", "l_partkey", "total_qty", "hits"))
+    return with_rank(agg, "total_qty", "l_partkey", 10) \
+        .select("rank", "l_partkey", "total_qty", "hits")
 
 
 @q("tpch_semi_anti", """
