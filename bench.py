@@ -29,6 +29,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BENCH_BASE = os.path.join(REPO, "_bench_data")
 
 HEADLINE = [
+    "tr2_sessions",
     "evt_sessions_per_user",
     "evt_daily_totals",
     "evt_rollup",

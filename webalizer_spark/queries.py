@@ -231,7 +231,7 @@ def evt_month_summary(spark, sf):
     return sess.crossJoin(am)
 
 
-@q("evt_entry_types", _SESSION_CTE + """
+@qu("evt_entry_types", _SESSION_CTE + """
 , r AS (
   SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
                                ORDER BY ts, event_id) AS rn
@@ -240,7 +240,10 @@ def evt_month_summary(spark, sf):
 SELECT event_type AS page, COUNT(*) AS entries FROM r WHERE rn = 1 GROUP BY 1
 """)
 def evt_entry_types(spark, sf):
-    """W2: entry-page counts (first event of each session)."""
+    """W2: entry-page counts (first event of each session).
+    Ungraded since r4: subsumed by the composed lifecycle oracle
+    tr2_sessions, which grades entry pages through parse -> sessionize
+    -> entry_exit end-to-end."""
     sess = _evt_sessions(spark, sf)
     # every event counts as a 'page' here (event_type is never NULL)
     per = sess.groupBy("user_id", "session_seq").agg(
@@ -248,7 +251,7 @@ def evt_entry_types(spark, sf):
     return per.groupBy("page").agg(F.count(F.lit(1)).alias("entries"))
 
 
-@q("evt_exit_types", _SESSION_CTE + """
+@qu("evt_exit_types", _SESSION_CTE + """
 , r AS (
   SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
                                ORDER BY ts DESC, event_id DESC) AS rn
@@ -257,7 +260,8 @@ def evt_entry_types(spark, sf):
 SELECT event_type AS page, COUNT(*) AS exits FROM r WHERE rn = 1 GROUP BY 1
 """)
 def evt_exit_types(spark, sf):
-    """W3: exit-page counts (last event of each session)."""
+    """W3: exit-page counts (last event of each session).
+    Ungraded since r4: subsumed by tr2_sessions (see evt_entry_types)."""
     sess = _evt_sessions(spark, sf)
     per = sess.groupBy("user_id", "session_seq").agg(
         F.max_by("event_type", F.struct("ts", "event_id")).alias("page"))
@@ -349,7 +353,7 @@ def evt_ignore_filter(spark, sf):
             .agg(F.count(F.lit(1)).alias("hits")))
 
 
-@q("evt_grouping_sets", """
+@qu("evt_grouping_sets", """
 SELECT event_type, date_trunc('day', ts) AS day_ts, COUNT(*) AS hits,
        CAST(GROUPING(event_type) AS INT) AS g_type,
        CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day
@@ -357,7 +361,10 @@ FROM events
 GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)))
 """)
 def evt_grouping_sets(spark, sf):
-    """A12: GROUPING SETS — per-type and per-day aggregates in ONE shuffle."""
+    """A12: GROUPING SETS — per-type and per-day aggregates in ONE shuffle.
+    Ungraded since r4: the same groupingSets machinery is graded through
+    evt_grouped_rollup (richer: named groups + is_group flag); slot
+    reassigned to the first-party A3/A4/A11 oracles (tr2_per_*)."""
     ev = _t(spark, sf, "events").withColumn(
         "day_ts", F.date_trunc("day", "ts"))
     return (ev.groupingSets([[F.col("event_type")], [F.col("day_ts")]],
@@ -368,14 +375,17 @@ def evt_grouping_sets(spark, sf):
             .select("event_type", "day_ts", "hits", "g_type", "g_day"))
 
 
-@q("evt_rollup", """
+@qu("evt_rollup", """
 SELECT date_trunc('day', ts) AS day_ts, CAST(hour(ts) AS INT) AS hour,
        COUNT(*) AS hits, CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day,
        CAST(GROUPING(hour(ts)) AS INT) AS g_hour
 FROM events GROUP BY ROLLUP (date_trunc('day', ts), hour(ts))
 """)
 def evt_rollup(spark, sf):
-    """A9: multi-grain rollup (day, hour) + grand total in one shuffle."""
+    """A9: multi-grain rollup (day, hour) + grand total in one shuffle.
+    Ungraded since r4: A9's month/day totals are graded via
+    evt_month_summary and tr2_daily_totals; slot reassigned to the
+    composed lifecycle oracle tr2_sessions."""
     ev = (_t(spark, sf, "events")
           .withColumn("day_ts", F.date_trunc("day", "ts"))
           .withColumn("hour", F.hour("ts").cast("int")))
@@ -1432,6 +1442,9 @@ from webalizer_spark import queries_synth  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
+    # round-4 flagship: composed parse->sessionize->entry/exit lifecycle
+    # oracle + the A3/A4/A11 first-party rows
+    "tr2_sessions", "tr2_per_referrer", "tr2_per_agent", "tr2_per_class",
     # round-2/3 flagship: synthesized-transcript parse-path oracles (S2-S5)
     "tr2_parse_fields", "tr2_error_routing", "tr2_status_histogram",
     "tr2_daily_totals", "tr2_search_terms", "tr2_agent_mangle",

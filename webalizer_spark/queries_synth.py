@@ -476,3 +476,129 @@ def tr2_w3c(spark, sf):
         F.col("turn_idx").cast("long").alias("event_id"),
         "log_format", "actor", "auth_user", "verb", "path",
         "status", "nbytes", "ts_text", "agent_str", "parse_ok")
+
+
+# ---------------------------------------------------------------------------
+# composed lifecycle oracle: parse -> sessionize -> entry/exit in ONE row
+# [webalizer.c ƒmain single loop: ƒparse_record -> ƒput_hnode visit branch
+#  -> ƒupdate_entry/ƒupdate_exit — the reference does all of this per
+#  record in one pass; here one graded row runs the full operator chain]
+# ---------------------------------------------------------------------------
+
+_SESS2_CTE = _BASE_CTE + """
+, o2 AS (
+  SELECT event_id, actor, path, ts_text,
+         CAST(floor(epoch(ts_text)) AS BIGINT) AS es
+  FROM final WHERE parse_ok
+), f2 AS (
+  SELECT *,
+         CASE WHEN lag(es) OVER w IS NULL
+                OR es - lag(es) OVER w >= 1800
+              THEN 1 ELSE 0 END AS isnew
+  FROM o2
+  WINDOW w AS (PARTITION BY actor ORDER BY ts_text, event_id)
+), s2 AS (
+  SELECT *, SUM(isnew) OVER (PARTITION BY actor ORDER BY ts_text, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f2
+)
+"""
+
+
+@q("tr2_sessions", _SESS2_CTE + """
+SELECT actor, CAST(session_seq AS BIGINT) AS session_seq,
+       first(path ORDER BY ts_text, event_id) AS entry_page,
+       last(path ORDER BY ts_text, event_id) AS exit_page,
+       COUNT(*) AS page_hits
+FROM s2 GROUP BY actor, session_seq
+""")
+def tr2_sessions(spark, sf):
+    """THE composed lifecycle oracle: grok-parse the synthesized CLF
+    lines with the real parser, sessionize the PARSED output on
+    (actor, ts_text) with the real 30-min gap-and-island operator, then
+    derive per-session entry/exit pages with the real entry_exit
+    operator — parse -> sessionize -> entry/exit graded end-to-end in
+    one hash-checked row (round-3 verdict item #1: previously each stage
+    was only oracled piecewise). DuckDB independently re-parses the
+    lines and re-derives sessions + ordered first/last per session."""
+    from webalizer_spark.operators.sessionize import entry_exit, sessionize
+
+    p = _parsed(spark, sf).filter(F.col("parse_ok"))
+    sess = sessionize(p, 1800, key="actor", ts_col="ts_text",
+                      tiebreak="event_id")
+    ee = entry_exit(sess, page_col="path", key="actor", ts_col="ts_text",
+                    tiebreak="event_id")
+    return ee.select("actor", "session_seq", "entry_page", "exit_page",
+                     "page_hits")
+
+
+# ---------------------------------------------------------------------------
+# first-party oracle rows for A3 / A4 / A11 — the last three §2 aggregates
+# previously graded only through analogs (round-3 verdict item #2)
+# ---------------------------------------------------------------------------
+
+
+@q("tr2_per_referrer", _BASE_CTE + """
+SELECT COALESCE(referrer, '-') AS referrer, COUNT(*) AS hits
+FROM final WHERE parse_ok GROUP BY 1
+""")
+def tr2_per_referrer(spark, sf):
+    """A3 first-party oracle [hashtab.c ƒput_rnode]: per-referrer table
+    over grok-parsed rows, NULL referrer folded into the reference's
+    '-' (blank-referrer) slot."""
+    from webalizer_spark.operators.aggregates import per_referrer
+
+    return per_referrer(_parsed(spark, sf).filter(F.col("parse_ok")))
+
+
+@q("tr2_per_agent", _BASE_CTE + """
+SELECT regexp_extract(agent_str, '^(\\S+/\\d+\\.\\d+)', 1) AS agent,
+       COUNT(*) AS hits
+FROM final WHERE parse_ok GROUP BY 1
+""")
+def tr2_per_agent(spark, sf):
+    """A4 first-party oracle [hashtab.c ƒput_anode]: per-agent table
+    aggregated over MANGLED agents (MangleAgents level 3 — name +
+    major.minor), i.e. the post-mangle grouping the reference performs
+    when cfg.mangle_agents > 0."""
+    from webalizer_spark.functions.scalars import agent_mangle
+    from webalizer_spark.operators.aggregates import per_agent
+
+    p = (_parsed(spark, sf).filter(F.col("parse_ok"))
+         .withColumn("agent_m", agent_mangle(F.col("agent_str"), 3)))
+    return per_agent(p, mangled_col="agent_m")
+
+
+@q("tr2_per_class", _BASE_CTE + """
+, dim AS (
+  SELECT DISTINCT 'user' || user_id AS role,
+         'class' || (user_id % 4) AS actor_class
+  FROM events WHERE user_id % 3 <> 0
+)
+SELECT COALESCE(d.actor_class, 'unknown') AS actor_class,
+       COUNT(*) AS hits,
+       COUNT(*) FILTER (WHERE f.status = 200) AS files,
+       CAST(SUM(f.nbytes) AS DOUBLE) / 1024.0 AS kbytes
+FROM final f LEFT JOIN dim d ON f.actor = d.role
+WHERE f.parse_ok GROUP BY 1
+""")
+def tr2_per_class(spark, sf):
+    """A11 first-party oracle [webalizer.c ctry[] country table recast]:
+    broadcast role->class enrichment (J1 operator) over parsed rows,
+    with unmapped actors landing in the reference's 'unknown' bucket
+    (the dim deliberately omits user_id % 3 == 0 actors), then the
+    per-class hits/files/kbytes aggregate (per_class)."""
+    from webalizer_spark.operators.aggregates import per_class
+    from webalizer_spark.operators.enrich import enrich_role_class
+
+    ev = _t(spark, sf, "events")
+    dim = (ev.filter(F.col("user_id") % 3 != 0)
+           .select(F.concat(F.lit("user"),
+                            F.col("user_id").cast("string")).alias("role"),
+                   F.concat(F.lit("class"),
+                            (F.col("user_id") % 4).cast("string")
+                            ).alias("actor_class"))
+           .distinct())
+    p = _parsed(spark, sf).filter(F.col("parse_ok"))
+    enriched = enrich_role_class(p, dim, role_col="actor")
+    return per_class(enriched)
