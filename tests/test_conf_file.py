@@ -142,3 +142,17 @@ def test_cli_overrides_conf_both_directions(tmp_path):
     p.write_text("Incremental no\n")
     cfg, _ = resolve_config(str(p), 0, True)
     assert cfg.incremental is True and cfg.visit_timeout_s == 0
+
+
+def test_parse_conf_pagetype_searchengine_groupdomains():
+    """Round-4 keyword surface: PageType accumulates patterns,
+    SearchEngine accumulates (host, param) pairs with reference-style
+    trailing '=' tolerated and 'q' defaulted, GroupDomains is numeric."""
+    cfg, unknown = parse_conf(
+        "PageType htm*\nPageType cgi\n"
+        "SearchEngine eng-0.example q=\nSearchEngine other.example\n"
+        "GroupDomains 2\n")
+    assert cfg.page_types == ("htm*", "cgi")
+    assert cfg.search_engines == (("eng-0.example", "q"),
+                                  ("other.example", "q"))
+    assert cfg.group_domains == 2 and unknown == []

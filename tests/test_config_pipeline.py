@@ -191,3 +191,55 @@ def test_group_referrer_rollup(cfg_result3):
     assert grp_hits == member_hits > 0
     # only its own table is affected: no other grouped_* report appears
     assert "grouped_tools" not in res.reports
+
+
+@pytest.fixture(scope="module")
+def cfg_result4(spark, transcripts, dims):
+    """Round-4 conf keywords: PageType redefines the page predicate,
+    SearchEngine builds the J4 dim from conf, GroupDomains adds the
+    domain rollup [sample.conf keywords; webalizer.c ƒispage/
+    ƒsrch_string/ƒget_domain]."""
+    cfg = EngineConfig(
+        page_types=("msg/*",),
+        search_engines=(("eng-0.example", "q"),),
+        group_domains=1,
+    )
+    res = run_pipeline(spark, transcripts, dims, cfg=cfg)
+    yield res, cfg
+    res.unpersist()
+
+
+def test_pagetype_drives_page_predicate(cfg_result4):
+    """With PageType msg/*, 'pages' counts msg/ turns (not tool turns)
+    in every core-metric table, and entry/exit key on matching paths."""
+    res, _ = cfg_result4
+    spine = res.enriched
+    n_msg = spine.filter(F.col("path").startswith("msg/")).count()
+    daily = res.reports["daily"].toPandas()
+    assert int(daily["pages"].sum()) == n_msg
+    assert n_msg != spine.filter(F.col("tool").isNotNull()).count()
+    entry = res.reports["top_entry"].toPandas()
+    assert entry["page"].str.startswith("msg/").all()
+
+
+def test_searchengine_conf_builds_dim(cfg_result4):
+    """Only conf-listed engines match: search terms extract for
+    eng-0.example referrers alone, and the top_search table shrinks to
+    that engine's terms."""
+    res, _ = cfg_result4
+    spine = res.enriched
+    assert spine.filter(F.col("search_term").isNotNull()
+                        & (F.col("engine_host") != "eng-0.example")
+                        ).count() == 0
+    n0 = spine.filter(F.col("engine_host") == "eng-0.example").count()
+    assert spine.filter(F.col("search_term").isNotNull()).count() == n0 > 0
+
+
+def test_groupdomains_rollup(cfg_result4):
+    """GroupDomains 1 rolls referrer hosts to their last label: one
+    'example' domain row whose hits equal all referrer-bearing rows."""
+    res, _ = cfg_result4
+    gd = res.reports["grouped_domains"].toPandas()
+    assert gd["domain"].tolist() == ["example"]
+    n_ref = res.enriched.filter(F.col("engine_host").isNotNull()).count()
+    assert int(gd["hits"].iloc[0]) == n_ref > 0

@@ -95,6 +95,19 @@ class EngineConfig:
     hot_conv_threshold: int = 100_000
     # Streaming watermark (chronology-check analog, SURVEY §2.9).
     late_data_watermark: str = "30 minutes"
+    # PageType [sample.conf; webalizer.c ƒispage]: wildcard patterns over
+    # `path` defining what counts as a "page". Empty = the engine's
+    # default recast predicate (tool IS NOT NULL).
+    page_types: tuple[str, ...] = ()
+    # SearchEngine [sample.conf 'SearchEngine host param=']: builds the
+    # J4 engine dim (engine_host, query_param) from conf instead of the
+    # dims table. Hosts are exact (the broadcast-join key), the param
+    # defaults to 'q'.
+    search_engines: tuple[tuple[str, str], ...] = ()
+    # GroupDomains N [sample.conf; webalizer.c ƒget_domain]: roll referrer
+    # hosts up to their last-N domain labels as an extra grouped report.
+    # 0 = disabled (reference default).
+    group_domains: int = 0
 
 
 DEFAULT_CONFIG = EngineConfig()
@@ -142,7 +155,8 @@ _DUMP_KEYS = {
 _BOOL = {"yes": True, "no": False, "true": True, "false": False,
          "1": True, "0": False}
 
-_NUMERIC_KEYS = frozenset({"visittimeout", "mangleagents"} | _TOPN_KEYS.keys())
+_NUMERIC_KEYS = frozenset(
+    {"visittimeout", "mangleagents", "groupdomains"} | _TOPN_KEYS.keys())
 
 
 def _first_int(val: str) -> int | None:
@@ -167,7 +181,8 @@ def parse_conf(text: str) -> tuple[EngineConfig, list[str]]:
     scalar: dict[str, object] = {}
     unknown: list[str] = []
 
-    known = ({"visittimeout", "mangleagents", "incremental"}
+    known = ({"visittimeout", "mangleagents", "incremental", "pagetype",
+              "searchengine", "groupdomains"}
              | _TOPN_KEYS.keys() | _LIST_KEYS.keys()
              | _GROUP_KEYS.keys() | _DUMP_KEYS.keys())
     for raw in text.splitlines():
@@ -195,6 +210,21 @@ def parse_conf(text: str) -> tuple[EngineConfig, list[str]]:
             scalar["mangle_agents"] = num
         elif key == "incremental":
             scalar["incremental"] = _BOOL.get(val.lower(), False)
+        elif key == "groupdomains":
+            scalar["group_domains"] = num
+        elif key == "pagetype":
+            # one pattern per line in the reference; tolerate several
+            # whitespace-separated patterns on one line as a superset
+            scalar["page_types"] = (scalar.get("page_types", ())
+                                    + tuple(val.split()))
+        elif key == "searchengine":
+            # "host [param]" — reference grammar is 'SearchEngine
+            # host substring param='; param defaults to q, trailing '='
+            # (reference style) is tolerated
+            bits = val.split(None, 1)
+            param = bits[1].strip().rstrip("=") if len(bits) > 1 else "q"
+            scalar["search_engines"] = (scalar.get("search_engines", ())
+                                        + ((bits[0], param),))
         elif key in _TOPN_KEYS:
             topn[_TOPN_KEYS[key]] = num
         elif key in _LIST_KEYS:

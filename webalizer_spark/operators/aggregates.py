@@ -63,6 +63,19 @@ def CORE_METRICS() -> list[Column]:
     return [HITS(), FILES(), PAGES(), ERRORS(), KBYTES()]
 
 
+def _pages_for(df: DataFrame) -> Column:
+    """PageType-aware pages metric: pipeline spines carry a conf-driven
+    is_page column (filters.page_predicate); plain frames use the fixed
+    recast predicate."""
+    if "is_page" in df.columns:
+        return F.count_if(F.col("is_page")).alias("pages")
+    return PAGES()
+
+
+def _core_for(df: DataFrame) -> list[Column]:
+    return [HITS(), FILES(), _pages_for(df), ERRORS(), KBYTES()]
+
+
 def _grain(ts_col: str, grain: str) -> Column:
     return F.date_trunc(grain, F.col(ts_col)).alias(f"{grain}_ts")
 
@@ -71,7 +84,7 @@ def time_totals(df: DataFrame, grain: str = "day", ts_col: str = "ts",
                 with_sessions: bool = False) -> DataFrame:
     """A7/A8/A9: hourly/daily/monthly totals incl. per-bucket distinct
     sites (reference daily table sd_htab) and visit starts."""
-    metrics = [*CORE_METRICS(), SITES()]
+    metrics = [*_core_for(df), SITES()]
     if with_sessions:
         metrics.append(VISITS())
     return df.groupBy(_grain(ts_col, grain)).agg(*metrics)
@@ -80,7 +93,7 @@ def time_totals(df: DataFrame, grain: str = "day", ts_col: str = "ts",
 def hour_of_day_profile(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """A7 variant: the reference's hourly table is hour-OF-DAY within the
     month [webalizer.c th_* arrays] — a 24-row profile."""
-    return df.groupBy(F.hour(ts_col).alias("hour")).agg(*CORE_METRICS())
+    return df.groupBy(F.hour(ts_col).alias("hour")).agg(*_core_for(df))
 
 
 def multi_grain_rollup(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -92,7 +105,7 @@ def multi_grain_rollup(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             _grain(ts_col, "day"),
             _grain(ts_col, "hour"),
         )
-        .agg(*CORE_METRICS(), F.grouping_id().alias("grain_id"))
+        .agg(*_core_for(df), F.grouping_id().alias("grain_id"))
     )
 
 
@@ -100,7 +113,7 @@ def per_site(df: DataFrame) -> DataFrame:
     """A1: per-conv (per-site) table [hashtab.c ƒput_hnode]: hits, files,
     pages, kbytes, visits, last-seen ts."""
     return df.groupBy("conv_id").agg(
-        *CORE_METRICS(), VISITS(), F.max("ts").alias("last_ts"),
+        *_core_for(df), VISITS(), F.max("ts").alias("last_ts"),
     )
 
 
@@ -158,7 +171,7 @@ def month_summary(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """A9: month totals + distinct cardinalities (t_site/t_url/t_agent/
     t_user) — the webalizer.hist row [preserve.c ƒput_history]."""
     return df.groupBy(_grain(ts_col, "month")).agg(
-        *CORE_METRICS(), VISITS(), SITES(),
+        *_core_for(df), VISITS(), SITES(),
         F.countDistinct("tool").alias("urls"),
         F.countDistinct("agent_str").alias("agents"),
         F.countDistinct("ident").alias("users"),

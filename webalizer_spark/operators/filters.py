@@ -44,6 +44,21 @@ def wildcard_match(col: Column, patterns: Sequence[str]) -> Column:
     return F.coalesce(out, F.lit(False))
 
 
+def page_predicate(page_types: Sequence[str],
+                   path_col: str = "path",
+                   tool_col: str = "tool") -> Column:
+    """P7: the "is this row a page?" predicate [webalizer.c ƒispage].
+
+    With PageType patterns configured, a row is a page when its path
+    matches the list (the reference's extension-list semantics via the
+    same wildcard grammar); without, the engine's default recast applies
+    (tool IS NOT NULL — tool-call turns are the page analog).
+    """
+    if not page_types:
+        return F.col(tool_col).isNotNull()
+    return wildcard_match(F.col(path_col), page_types)
+
+
 def ignore_include(df: DataFrame, col: str,
                    ignore: Sequence[str],
                    include: Sequence[str] = ()) -> DataFrame:

@@ -291,17 +291,23 @@ def sessionize_skew_safe(df: DataFrame, timeout_s: int = 1800,
 
 def entry_exit(sessions: DataFrame, page_col: str = "tool",
                key: str = "conv_id", ts_col: str = "ts",
-               tiebreak: str = "turn_idx") -> DataFrame:
+               tiebreak: str = "turn_idx",
+               page_pred: F.Column | None = None) -> DataFrame:
     """Per-session entry and exit page [webalizer.c ƒupdate_entry/ƒupdate_exit;
     hashtab.c hnode.lasturl]: the first and last page-row of each visit.
 
-    "Page" is the recast predicate: page_col IS NOT NULL (SURVEY P7).
+    "Page" defaults to the recast predicate page_col IS NOT NULL
+    (SURVEY P7); a conf-driven PageType pipeline passes page_pred
+    (filters.page_predicate over the spine's is_page column) with
+    page_col='path' so entries/exits are the matching paths, like the
+    reference's URL-based entry/exit tables.
     One shuffle (groupBy key+session); min_by/max_by on the (ts, tiebreak)
     struct keeps it a plain hash aggregate — no second window.
     """
     ordk = F.struct(F.col(ts_col), F.col(tiebreak))
+    pred = page_pred if page_pred is not None else F.col(page_col).isNotNull()
     return (
-        sessions.filter(F.col(page_col).isNotNull())
+        sessions.filter(pred)
         .groupBy(key, "session_seq")
         .agg(
             F.min_by(page_col, ordk).alias("entry_page"),

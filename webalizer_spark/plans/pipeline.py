@@ -36,7 +36,11 @@ from webalizer_spark.functions.scalars import agent_mangle
 from webalizer_spark.operators import aggregates as A
 from webalizer_spark.operators import topn as T
 from webalizer_spark.operators.enrich import enrich_all
-from webalizer_spark.operators.filters import hide, ignore_include
+from webalizer_spark.operators.filters import (
+    hide,
+    ignore_include,
+    page_predicate,
+)
 from webalizer_spark.operators.parse import parse_transcripts
 from webalizer_spark.operators.sessionize import (
     entry_counts,
@@ -120,8 +124,19 @@ def run_pipeline(
                         cfg.lists.include_referrer)
     if cfg.mangle_agents:
         ok = ok.withColumn("agent_str", agent_mangle(F.col("agent_str"), cfg.mangle_agents))
+    # PageType [webalizer.c ƒispage]: the page predicate is computed ONCE
+    # into the spine (pure Catalyst boolean over path/tool, no join) so
+    # every pages metric and the entry/exit tables agree on it
+    ok = ok.withColumn("is_page", page_predicate(cfg.page_types))
 
     # -- ENRICH -----------------------------------------------------------
+    # SearchEngine conf lines replace the engine dim [webalizer.c
+    # ƒsrch_string search_list]: same broadcast J4 join, dim built from
+    # config instead of the dims table
+    if cfg.search_engines:
+        dims = {**dims, "engine_params": spark.createDataFrame(
+            list(cfg.search_engines),
+            "engine_host string, query_param string")}
     enriched = enrich_all(ok, dims)
 
     # -- SESSIONIZE -------------------------------------------------------
@@ -152,7 +167,15 @@ def run_pipeline(
     # base aggregates shared by several reports are persisted (tiny
     # tables) so the by-hits and by-kbytes top-N variants don't re-scan
     # the spine — cuts spine passes per run by ~1/3
-    sess_pages = entry_exit(spine).persist(persist_level)
+    # entry/exit follow the conf page predicate: with PageType set the
+    # entry/exit tables key on matching PATHS (the reference's URL-based
+    # tables); default keys on tool like the rest of the recast
+    if cfg.page_types:
+        sess_pages = entry_exit(spine, page_col="path",
+                                page_pred=F.col("is_page"))
+    else:
+        sess_pages = entry_exit(spine)
+    sess_pages = sess_pages.persist(persist_level)
     per_site = A.per_site(spine).persist(persist_level)
     per_url = A.per_url(spine).persist(persist_level)
     n = cfg.topn
@@ -226,6 +249,16 @@ def run_pipeline(
         reports["grouped_users"] = A.grouped_rollup(
             spine.filter(F.col("ident").isNotNull()), "ident",
             cfg.lists.group_user)
+    if cfg.group_domains:
+        # GroupDomains N [webalizer.c ƒget_domain]: referrer hosts rolled
+        # up to their last-N labels — one tiny-key groupBy over the spine
+        # (engine_host is already on the spine from the J4 enrich join)
+        from webalizer_spark.functions.scalars import get_domain
+        reports["grouped_domains"] = (
+            spine.filter(F.col("engine_host").isNotNull())
+            .groupBy(get_domain(F.col("engine_host"),
+                                cfg.group_domains).alias("domain"))
+            .agg(A.HITS(), A.KBYTES()))
 
     return PipelineResult(
         enriched=spine, errors=errors, tool_calls=tool_calls,
