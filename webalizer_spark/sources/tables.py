@@ -22,6 +22,16 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def merge_sql(target: str, keys: list[str], source: str = "_merge_src") -> str:
+    """The MERGE INTO statement the Iceberg branch executes — factored
+    out so the generated SQL is unit-testable in-sandbox, where no
+    Iceberg runtime jar exists to run it live."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    return (f"MERGE INTO {target} t USING {source} s ON {on}\n"
+            "WHEN MATCHED THEN UPDATE SET *\n"
+            "WHEN NOT MATCHED THEN INSERT *")
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         jvm = spark._jvm  # noqa: SLF001
@@ -91,12 +101,7 @@ class TableIO:
                 df.writeTo(target).create()
                 return
             df.createOrReplaceTempView("_merge_src")
-            on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-            self.spark.sql(f"""
-                MERGE INTO {target} t USING _merge_src s ON {on}
-                WHEN MATCHED THEN UPDATE SET *
-                WHEN NOT MATCHED THEN INSERT *
-            """)
+            self.spark.sql(merge_sql(target, keys))
             return
         assert self.base_path is not None
         path = os.path.join(self.base_path, name)
