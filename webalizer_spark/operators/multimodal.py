@@ -298,8 +298,9 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     """Deterministic media fixture. Image rows rotate through REAL
     24-bit BMPs (i%6==0), REAL Paeth-filtered PNGs (i%12==3), REAL
     baseline JPEGs (i%24==9) and the fake container (i%24==21, keeping
-    the _decode_fake image branch fixture-covered); half the audio rows
-    are REAL PCM16 WAVs and half the video rows REAL YUV4MPEG2
+    the _decode_fake image branch fixture-covered); audio rows rotate
+    through REAL PCM16 WAVs (i odd), REAL FLAC streams (i%12==4) and
+    the fake container; half the video rows are REAL YUV4MPEG2
     streams (i%6==2); the rest use the self-describing fake container
     (standing in for PIL-only formats)."""
     rng = np.random.default_rng(seed)
@@ -322,6 +323,10 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             payload = encode_jpeg_gray(body.reshape(h, w), quality=90)
         elif kind == "audio" and i % 2 == 1:
             payload = encode_wav_pcm16(
+                (body.astype(np.int16) - 128) * 256, sr)
+        elif kind == "audio" and i % 12 == 4:
+            from webalizer_spark.operators.flac import encode_flac
+            payload = encode_flac(
                 (body.astype(np.int16) - 128) * 256, sr)
         elif kind == "video" and i % 6 == 2:
             w2, h2 = max(w // 2 * 2, 8), max(h // 2 * 2, 8)
@@ -347,9 +352,10 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
 
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
-    """External-library codec path (JPEG/FLAC/video) — requires
-    PIL/soundfile/av, which the sandbox image lacks. (BMP/WAV/PNG decode
-    natively above and never reach here.)"""
+    """External-library codec path — requires PIL/av, which the sandbox
+    image lacks. Only color/progressive JPEG and compressed video
+    (mp4/webm) still land here: BMP/PNG/grayscale-JPEG images, WAV/FLAC
+    audio and y4m video all decode natively above."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -393,6 +399,10 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
         return decode_bmp(payload)
     if payload[:4] == b"RIFF":
         samples, _sr = decode_wav(payload)
+        return samples, (len(samples),)
+    if payload[:4] == b"fLaC":
+        from webalizer_spark.operators.flac import decode_flac
+        samples, _sr = decode_flac(payload)
         return samples, (len(samples),)
     if payload[:4] == _MAGIC:
         return _decode_fake(payload, kind)
