@@ -1127,7 +1127,11 @@ labels AS (SELECT v, LEAST(v, MIN(u)) AS label FROM reach GROUP BY v)"""
 # Shared CC oracle body: LSH candidates -> exact Jaccard verify (>= 0.9)
 # -> transitive closure (recursive CTE, UNION-deduped) -> min-label per
 # vertex. Mirrors dedup.near_dup_remove's stage chain exactly.
-_DUP_CC_CTE = """
+# The edge derivation is split out (_DUP_EDGES_CTE) so the sf0.1
+# scale-stability tool (tools/verify_cc_scale.py) can materialize the
+# SAME edges and run a cheaper iterative min-label closure on them —
+# the recursive CTE is quadratic in closure size and times out at 10x.
+_DUP_EDGES_CTE = """
 WITH RECURSIVE toks AS (
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -1163,8 +1167,11 @@ verified AS (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
-),
-""" + _CLOSURE_CTE.format(edges="verified", a="doc_a", b="doc_b") + "\n"
+)"""
+
+_DUP_CC_CTE = (_DUP_EDGES_CTE + ",\n"
+               + _CLOSURE_CTE.format(edges="verified", a="doc_a", b="doc_b")
+               + "\n")
 
 
 def _dup_edges(spark, sf):
@@ -1398,7 +1405,9 @@ def doc_winnow_pairs(spark, sf):
     return winnow_copy_pairs(fp, min_shared=3)
 
 
-@q("emb_near_dup_keep", "WITH RECURSIVE " + _LSH_SIG_CTE + """,
+# embedding near-dup edge derivation, shared with tools/verify_cc_scale.py
+# (same split rationale as _DUP_EDGES_CTE)
+_EMB_EDGES_CTE = _LSH_SIG_CTE + """,
 cand AS (
   SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
   FROM sig a JOIN sig b
@@ -1410,8 +1419,11 @@ edges AS (
   JOIN embeddings eb ON eb.vec_id = vb
   WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
                                CAST(eb.embedding AS DOUBLE[])) >= 0.45
-),
-""" + _CLOSURE_CTE.format(edges="edges", a="va", b="vb") + """
+)"""
+
+
+@q("emb_near_dup_keep", "WITH RECURSIVE " + _EMB_EDGES_CTE + ",\n"
+   + _CLOSURE_CTE.format(edges="edges", a="va", b="vb") + """
 SELECT vec_id FROM embeddings
 WHERE vec_id NOT IN (SELECT v FROM labels WHERE label <> v)
 """)
