@@ -156,3 +156,26 @@ def test_parse_conf_pagetype_searchengine_groupdomains():
     assert cfg.search_engines == (("eng-0.example", "q"),
                                   ("other.example", "q"))
     assert cfg.group_domains == 2 and unknown == []
+
+
+def test_parse_conf_negative_numbers_warn_not_crash():
+    """Negative numerics are conf noise (limit(-1) would crash at plan
+    time; GroupDomains -2 would silently flip get_domain's direction)."""
+    cfg, unknown = parse_conf("TopURLs -1\nGroupDomains -2\n")
+    assert cfg.topn.urls == 30 and cfg.group_domains == 0
+    assert sorted(unknown) == ["GroupDomains", "TopURLs"]
+
+
+def test_parse_conf_pagetype_searchengine_inline_comments():
+    """Inline '#' comments end PageType/SearchEngine lines instead of
+    becoming match-everything patterns or corrupt params; re-listing a
+    SearchEngine host is last-wins (a duplicate host in the broadcast
+    dim would duplicate joined rows)."""
+    cfg, _ = parse_conf(
+        "PageType htm* # pages\n"
+        "SearchEngine eng-1.example p= # the engine\n"
+        "SearchEngine eng-1.example q=\n"
+        "SearchEngine eng-2.example # param defaults\n")
+    assert cfg.page_types == ("htm*",)
+    assert cfg.search_engines == (("eng-1.example", "q"),
+                                  ("eng-2.example", "q"))

@@ -294,3 +294,36 @@ def test_fixture_contains_real_flac(spark, media):
         got = feats[feats["media_id"] == r["media_id"]].iloc[0]
         assert bool(got["ok"]) and got["decoded_shape"] == f"{len(samples)}"
         assert abs(got["mean_val"] - float(samples.mean())) < 1e-9
+
+
+def test_jpeg_truncated_in_fill_bytes_raises_valueerror():
+    """A truncated stream ending in 0xFF fill bytes must raise ValueError
+    (never struct.error) so decode_media's corrupt routing works."""
+    from webalizer_spark.operators.jpeg import decode_jpeg_gray
+
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\xff\xd8\xff\xff\xff\xe0")
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\xff\xd8\xff\xff\xff\xff")
+
+
+def test_flac_unknown_total_refused():
+    """total_samples=0 (the spec's unknown-length marker) is refused,
+    not silently decoded to zero samples."""
+    import struct as _s
+
+    from webalizer_spark.operators.flac import decode_flac, encode_flac
+
+    enc = bytearray(encode_flac(np.arange(100, dtype=np.int16), 8000))
+    # STREAMINFO total_samples lives in bits 4.. of bytes 21..25
+    # (after magic+header: 4+4+16+... ) — zero the 36-bit field:
+    # bytes offset 8+10+3 = 21: [sr20|ch3|bps5|total36] spans bytes 18..26
+    # simpler: rebuild via bit surgery on the known layout
+    off = 8 + 10  # magic(4)+blockhdr(4) + minb2+maxb2+minf3+maxf3
+    # sr(20)+ch(3)+bps(5) = 28 bits, then total(36): total starts at
+    # bit 28 of this 8-byte region
+    region = int.from_bytes(enc[off:off + 8], "big")
+    region &= ~((1 << 36) - 1)  # zero the low 36 bits (total_samples)
+    enc[off:off + 8] = region.to_bytes(8, "big")
+    with pytest.raises(ValueError, match="unknown total_samples"):
+        decode_flac(bytes(enc))

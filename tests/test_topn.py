@@ -28,3 +28,14 @@ def test_with_share(spark):
 def test_full_dump_sorted(spark):
     got = [r["k"] for r in full_dump(_df(spark), "m", "k").collect()]
     assert got == ["b", "c", "a", "d"]
+
+
+def test_with_rank_null_metric_ranks_last(spark):
+    """NULL metrics rank LAST (matching desc_nulls_last ordering), never
+    as duplicate rank-1 rows."""
+    from webalizer_spark.operators.topn import with_rank
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", None), ("c", 3), ("d", None)], "k string, m int")
+    got = {r["k"]: r["rank"] for r in with_rank(df, "m", "k", 10).collect()}
+    assert got == {"a": 1, "c": 2, "b": 3, "d": 4}

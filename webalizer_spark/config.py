@@ -160,9 +160,14 @@ _NUMERIC_KEYS = frozenset(
 
 
 def _first_int(val: str) -> int | None:
-    """atoi-style numeric parse: first whitespace token, or None."""
+    """atoi-style numeric parse: first whitespace token, or None.
+    Negative values are rejected too — no numeric keyword here (Top*,
+    VisitTimeout, MangleAgents, GroupDomains) has a meaningful negative,
+    and e.g. limit(-1) would crash at plan time, breaking the
+    warn-and-continue contract."""
     try:
-        return int(val.split(None, 1)[0])
+        v = int(val.split(None, 1)[0])
+        return v if v >= 0 else None
     except (ValueError, IndexError):
         return None
 
@@ -214,17 +219,30 @@ def parse_conf(text: str) -> tuple[EngineConfig, list[str]]:
             scalar["group_domains"] = num
         elif key == "pagetype":
             # one pattern per line in the reference; tolerate several
-            # whitespace-separated patterns on one line as a superset
+            # whitespace-separated patterns on one line as a superset.
+            # An inline '#' comment ends the pattern list — a bare '#'
+            # pattern would substring-match almost every path
+            pats = []
+            for t in val.split():
+                if t.startswith("#"):
+                    break
+                pats.append(t)
             scalar["page_types"] = (scalar.get("page_types", ())
-                                    + tuple(val.split()))
+                                    + tuple(pats))
         elif key == "searchengine":
             # "host [param]" — reference grammar is 'SearchEngine
             # host substring param='; param defaults to q, trailing '='
-            # (reference style) is tolerated
-            bits = val.split(None, 1)
-            param = bits[1].strip().rstrip("=") if len(bits) > 1 else "q"
-            scalar["search_engines"] = (scalar.get("search_engines", ())
-                                        + ((bits[0], param),))
+            # (reference style) is tolerated; inline '#' comments end
+            # the line. Re-listing a host is last-wins like every
+            # scalar keyword (a duplicate host in the broadcast dim
+            # would DUPLICATE every matching row through the join).
+            bits = val.split()
+            param = "q"
+            if len(bits) > 1 and not bits[1].startswith("#"):
+                param = bits[1].rstrip("=")
+            engines = dict(scalar.get("search_engines", ()))
+            engines[bits[0]] = param
+            scalar["search_engines"] = tuple(engines.items())
         elif key in _TOPN_KEYS:
             topn[_TOPN_KEYS[key]] = num
         elif key in _LIST_KEYS:

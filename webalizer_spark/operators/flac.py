@@ -331,6 +331,11 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             break
     if sample_rate is None:
         raise ValueError("FLAC missing STREAMINFO")
+    if not total:
+        # total_samples=0 is the spec's "unknown length" marker
+        # (streamed encoders); refusing beats silently returning zero
+        # samples with ok=True
+        raise ValueError("unsupported FLAC (unknown total_samples)")
 
     out: list[np.ndarray] = []
     got = 0

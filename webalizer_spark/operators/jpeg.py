@@ -267,12 +267,12 @@ def decode_jpeg_gray(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     h = w = None
     comp_dc = comp_ac = comp_q = 0
     scan = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker sync")
         # legal inter-segment 0xFF fill bytes (ITU T.81 B.1.1.2): skip
         # any run of 0xFF preceding the marker code byte
-        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
@@ -281,6 +281,10 @@ def decode_jpeg_gray(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
             # standalone (length-less) markers: TEM, RSTn outside a scan
             pos += 2
             continue
+        if pos + 4 > len(payload):
+            # truncated mid-segment: ValueError (never struct.error) so
+            # decode_media's corrupt routing keeps working
+            raise ValueError("JPEG truncated in marker stream")
         ln = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4:pos + 2 + ln]
         if marker == 0xFFDB:

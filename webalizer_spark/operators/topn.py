@@ -15,7 +15,7 @@ sort (range partition + local sort) feeding a sink write.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -41,10 +41,16 @@ def with_rank(df: DataFrame, metric: str, key: str, n: int) -> DataFrame:
     unique (it's the upstream groupBy key), so the order is total and
     ranks are exactly 1..N with deterministic ties.
     """
-    cut = top_n(df, metric, key, n)
+    # lazy localCheckpoint: the <=N-row cut is materialized ONCE and both
+    # the row side and the broadcast side read it — without it the input
+    # lineage (often an aggregation over the full table) executes twice
+    cut = top_n(df, metric, key, n).localCheckpoint(eager=False)
     other = cut.select(F.col(metric).alias("_rm"), F.col(key).alias("_rk"))
-    before = (F.col("_rm") > F.col(metric)) | (
-        (F.col("_rm") == F.col(metric)) & (F.col("_rk") < F.col(key)))
+    m, o = F.col(metric), F.col("_rm")
+    # NULL metrics sort LAST (desc_nulls_last, matching top_n's orderBy):
+    # a NULL row is "before" nothing except by key among other NULLs
+    before = (o.isNotNull() & m.isNull()) | (o > m) | (
+        o.eqNullSafe(m) & (F.col("_rk") < F.col(key)))
     return (
         cut.join(F.broadcast(other), before, "left")
         .groupBy(*cut.columns)
@@ -64,7 +70,10 @@ def with_share(df: DataFrame, metric: str, total: float | None = None) -> DataFr
     if total is not None:
         return df.withColumn(
             "pct", F.round(F.col(metric) * 100.0 / F.lit(total), 4))
-    tot = df.agg(F.sum(metric).alias("_share_total"))
+    # 1-row total, lazily checkpointed so the input lineage isn't
+    # re-executed for the scalar side
+    tot = df.agg(F.sum(metric).alias("_share_total")) \
+            .localCheckpoint(eager=False)
     return (
         df.crossJoin(F.broadcast(tot))
         .withColumn("pct", F.round(

@@ -134,8 +134,10 @@ def run_pipeline(
     # ƒsrch_string search_list]: same broadcast J4 join, dim built from
     # config instead of the dims table
     if cfg.search_engines:
+        # last-wins per host: a duplicate engine_host in the broadcast
+        # dim would duplicate every matching spine row through the join
         dims = {**dims, "engine_params": spark.createDataFrame(
-            list(cfg.search_engines),
+            list(dict(cfg.search_engines).items()),
             "engine_host string, query_param string")}
     enriched = enrich_all(ok, dims)
 
