@@ -327,3 +327,22 @@ def test_flac_unknown_total_refused():
     enc[off:off + 8] = region.to_bytes(8, "big")
     with pytest.raises(ValueError, match="unknown total_samples"):
         decode_flac(bytes(enc))
+
+
+def test_flac_property_round_trip():
+    """Hypothesis property: ANY int16 mono signal round-trips losslessly
+    through the FLAC codec (bounded sizes keep the test fast)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from webalizer_spark.operators.flac import decode_flac, encode_flac
+
+    @settings(max_examples=25, deadline=None)
+    @given(arrays(np.int16, st.integers(1, 600)),
+           st.sampled_from([8000, 22050, 48000]))
+    def prop(s, sr):
+        dec, got_sr = decode_flac(encode_flac(s, sr))
+        assert got_sr == sr and np.array_equal(dec, s.astype(np.int64))
+
+    prop()

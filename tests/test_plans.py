@@ -153,3 +153,31 @@ def test_ivf_no_exchange_carries_vector_payloads(spark):
     for line in _plan(out).splitlines():
         if "Exchange" in line:
             assert "qv#" not in line and "cv#" not in line, line
+
+
+def test_lifecycle_chain_single_shuffle(spark):
+    """tr2_sessions (parse -> sessionize -> entry_exit) runs on exactly
+    ONE hash Exchange: the sessionize window shuffles by actor and the
+    downstream groupBy(actor, session_seq) REUSES that partitioning
+    (HashPartitioning(actor) satisfies the clustered distribution on a
+    superset key) — no second shuffle for entry/exit."""
+    import re
+
+    from webalizer_spark.queries import QUERIES
+
+    df = QUERIES["tr2_sessions"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    n = len(re.findall(
+        r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
+        plan))
+    assert n == 1, f"lifecycle chain should shuffle once, saw {n}:\n{plan}"
+
+
+def test_report_ranking_is_window_free(spark):
+    """The report ranking path (with_share -> with_rank) contains no
+    WindowExec anywhere — rank comes from the bounded broadcast
+    self-join, share from a scalar aggregate (round-4 de-pinch)."""
+    from webalizer_spark.queries import QUERIES
+
+    df = QUERIES["tr2_top_tools"](spark, "/root/testdata/sf0.001")
+    assert "Window" not in _plan(df)
