@@ -66,14 +66,17 @@ def with_share(df: DataFrame, metric: str, total: float | None = None) -> DataFr
     (partial aggregation map-side, then a 1-row broadcast nested-loop
     join) — NOT a partition-less window, which would move the whole
     table to a single task at scale.
+
+    The input is lazily checkpointed first so its lineage executes ONCE
+    for both the row side and the total — callers pass report-table
+    aggregates (cardinality bounded by the dimension, like every
+    reference %-column table), so the checkpoint is small by contract.
     """
     if total is not None:
         return df.withColumn(
             "pct", F.round(F.col(metric) * 100.0 / F.lit(total), 4))
-    # 1-row total, lazily checkpointed so the input lineage isn't
-    # re-executed for the scalar side
-    tot = df.agg(F.sum(metric).alias("_share_total")) \
-            .localCheckpoint(eager=False)
+    df = df.localCheckpoint(eager=False)
+    tot = df.agg(F.sum(metric).alias("_share_total"))
     return (
         df.crossJoin(F.broadcast(tot))
         .withColumn("pct", F.round(
