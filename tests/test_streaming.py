@@ -157,3 +157,28 @@ def test_streaming_error_routing_matches_batch(spark, transcripts,
         assert got == want and sum(want.values()) > 0
     finally:
         q.stop()
+
+
+def test_streaming_entry_exit_matches_batch(spark, transcripts, fixture_dir):
+    """W2/W3 streaming twin: per-session (entry, exit, page_hits)
+    multisets agree exactly with the batch sessionize -> entry_exit
+    chain (sessions over ALL rows, pages selected inside the session)."""
+    from webalizer_spark.operators.sessionize import entry_exit
+    from webalizer_spark.streaming.session_stream import streaming_entry_exit
+
+    schema = transcripts.schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "transcripts.parquet")
+              .parquet(fixture_dir))
+    q = _run_stream(streaming_entry_exit(stream), "ee_stream")
+    try:
+        got = sorted(
+            (r["conv_id"], r["entry_page"], r["exit_page"], r["page_hits"])
+            for r in spark.sql("select * from ee_stream").collect())
+        batch = entry_exit(sessionize(transcripts))
+        want = sorted(
+            (r["conv_id"], r["entry_page"], r["exit_page"], r["page_hits"])
+            for r in batch.collect())
+        assert got == want
+    finally:
+        q.stop()

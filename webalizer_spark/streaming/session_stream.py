@@ -107,3 +107,31 @@ def streaming_sessionize_stateful(stream: DataFrame,
             .groupBy("conv_id")
             .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def streaming_entry_exit(stream: DataFrame,
+                         cfg: EngineConfig = DEFAULT_CONFIG,
+                         page_col: str = "tool") -> DataFrame:
+    """W2/W3 as a streaming aggregate: per-session entry and exit pages
+    via session_window + conditional min_by/max_by.
+
+    Matches the batch entry_exit semantics exactly: sessions form over
+    ALL rows (non-page turns bridge gaps, like the batch path that
+    sessionizes first and filters pages after), entries/exits are taken
+    among page rows only (min_by/max_by skip rows whose ordering key is
+    NULL), and pageless sessions are dropped.
+    """
+    ts = F.col("ts").cast("timestamp")
+    ordk = F.when(F.col(page_col).isNotNull(),
+                  F.struct(F.col("ts"), F.col("turn_idx")))
+    return (
+        stream.withColumn("ts", ts)
+        .withWatermark("ts", cfg.late_data_watermark)
+        .groupBy(F.session_window("ts", f"{cfg.visit_timeout_s} seconds"),
+                 F.col("conv_id"))
+        .agg(F.min_by(F.col(page_col), ordk).alias("entry_page"),
+             F.max_by(F.col(page_col), ordk).alias("exit_page"),
+             F.count_if(F.col(page_col).isNotNull()).alias("page_hits"))
+        .filter(F.col("page_hits") > 0)
+        .select("conv_id", "entry_page", "exit_page", "page_hits")
+    )
