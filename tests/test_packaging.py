@@ -59,3 +59,24 @@ def test_engine_runs_from_zip_only(tmp_path):
         timeout=300, cwd=str(tmp_path), env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ZIPRUN ok=3 sessions=1" in out.stdout
+
+
+def test_driver_import_path_front_loads_priority():
+    """The driver imports queries_synth BEFORE queries (__spark_entry__
+    path), which triggers a circular import: the registry must still end
+    up priority-ordered with the newest oracle rows first (round-4
+    regression — they previously landed at the tail on this path)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import __spark_entry__ as E\n"
+        "q, o = E.queries(), E.oracle_sql()\n"
+        "assert len(q) == 50 and len(o) == 50, (len(q), len(o))\n"
+        "assert list(q)[:4] == ['tr2_sessions', 'tr2_per_referrer',"
+        " 'tr2_per_agent', 'tr2_per_class'], list(q)[:6]\n"
+        "assert list(q) == list(o)\n" % REPO)
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-1000:]

@@ -602,3 +602,12 @@ def tr2_per_class(spark, sf):
     p = _parsed(spark, sf).filter(F.col("parse_ok"))
     enriched = enrich_role_class(p, dim, role_col="actor")
     return per_class(enriched)
+
+
+# Re-apply the priority reorder + 50-row guard now that the tr2_* rows
+# exist. Required on the queries_synth-first import path (the driver's
+# __spark_entry__): the circular import runs queries.py's bottom while
+# this module is still empty, so its finalize saw no tr2_* rows.
+from webalizer_spark.queries import finalize_registries  # noqa: E402
+
+finalize_registries()
