@@ -179,3 +179,18 @@ def test_parse_conf_pagetype_searchengine_inline_comments():
     assert cfg.page_types == ("htm*",)
     assert cfg.search_engines == (("eng-1.example", "q"),
                                   ("eng-2.example", "q"))
+
+
+def test_parse_conf_searchengine_comment_only_line():
+    """A comment-only 'SearchEngine # ...' line must NOT register host
+    '#': any non-empty cfg.search_engines replaces the dims-table engine
+    dim in run_pipeline, so junk here would silently swap the real dim
+    for a never-matching one (round-4 advice). Warn-and-continue, like
+    the PageType branch."""
+    cfg, unknown = parse_conf("SearchEngine # just a comment\n")
+    assert cfg.search_engines == ()
+    assert unknown == ["SearchEngine"]
+    # and a comment line does not clobber previously-registered engines
+    cfg2, _ = parse_conf("SearchEngine real.example q\n"
+                         "SearchEngine # noise\n")
+    assert cfg2.search_engines == (("real.example", "q"),)

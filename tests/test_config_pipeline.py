@@ -210,16 +210,22 @@ def cfg_result4(spark, transcripts, dims):
 
 
 def test_pagetype_drives_page_predicate(cfg_result4):
-    """With PageType msg/*, 'pages' counts msg/ turns (not tool turns)
-    in every core-metric table, and entry/exit key on matching paths."""
+    """With PageType configured, reference ispage() semantics replace the
+    tool-turn default: the fixture's paths are all extension-less
+    ('msg/<role>' and bare tool names carry no '.'), and ispage treats
+    extension-less paths as pages unconditionally — so EVERY ok row is a
+    page (not just tool turns), and entry/exit key on paths."""
     res, _ = cfg_result4
     spine = res.enriched
-    n_msg = spine.filter(F.col("path").startswith("msg/")).count()
+    n_all = spine.count()
+    n_tool = spine.filter(F.col("tool").isNotNull()).count()
     daily = res.reports["daily"].toPandas()
-    assert int(daily["pages"].sum()) == n_msg
-    assert n_msg != spine.filter(F.col("tool").isNotNull()).count()
+    assert int(daily["pages"].sum()) == n_all
+    assert n_all != n_tool  # the conf really rewired the predicate
+    # entry pages are now session-first PATHS (any path, msg/ or tool)
     entry = res.reports["top_entry"].toPandas()
-    assert entry["page"].str.startswith("msg/").all()
+    paths = {r["path"] for r in spine.select("path").distinct().collect()}
+    assert set(entry["page"]) <= paths and len(entry) > 0
 
 
 def test_searchengine_conf_builds_dim(cfg_result4):

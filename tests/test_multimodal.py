@@ -329,6 +329,28 @@ def test_flac_unknown_total_refused():
         decode_flac(bytes(enc))
 
 
+def test_flac_reserved_sample_size_code_refused():
+    """Frame sample-size codes 3 (reserved) and 7 (32-bit) take the
+    honest-refusal path instead of silently defaulting to the
+    STREAMINFO bit depth (round-4 advice) — the CRC would catch a
+    mis-sized decode only incidentally."""
+    import struct as _s
+
+    from webalizer_spark.operators.flac import _crc8, decode_flac, encode_flac
+
+    for ss_code in (3, 7):
+        enc = bytearray(encode_flac(np.arange(100, dtype=np.int16), 8000))
+        # first frame at 42 = magic(4)+metahdr(4)+STREAMINFO(34);
+        # header byte 3 = [channels:4 | sample_size:3 | reserved:1]
+        f = 42
+        assert enc[f] == 0xFF and (enc[f + 1] & 0xFC) == 0xF8  # sync
+        enc[f + 3] = (enc[f + 3] & 0xF1) | (ss_code << 1)
+        # re-seal the header CRC-8: hb = 4 hdr + 1 utf8 frame-no + 2 bs
+        enc[f + 7] = _crc8(bytes(enc[f:f + 7]))
+        with pytest.raises(ValueError, match="sample-size code"):
+            decode_flac(bytes(enc))
+
+
 def test_flac_property_round_trip():
     """Hypothesis property: ANY int16 mono signal round-trips losslessly
     through the FLAC codec (bounded sizes keep the test fast)."""

@@ -30,6 +30,17 @@ def test_full_dump_sorted(spark):
     assert got == ["b", "c", "a", "d"]
 
 
+def test_with_rank_null_key_no_duplicate_ranks(spark):
+    """A NULL key must not produce duplicate ranks on metric ties: the
+    tiebreak is null-safe, NULL key first (matching asc() NULLS FIRST in
+    top_n's orderBy) — round-4 advice."""
+    df = spark.createDataFrame(
+        [("a", 10), (None, 10), ("b", 20)], "k string, m int")
+    got = {r["k"]: r["rank"] for r in with_rank(df, "m", "k", 10).collect()}
+    assert got == {"b": 1, None: 2, "a": 3}
+    assert sorted(got.values()) == [1, 2, 3]
+
+
 def test_with_rank_null_metric_ranks_last(spark):
     """NULL metrics rank LAST (matching desc_nulls_last ordering), never
     as duplicate rank-1 rows."""

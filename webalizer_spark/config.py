@@ -237,6 +237,14 @@ def parse_conf(text: str) -> tuple[EngineConfig, list[str]]:
             # scalar keyword (a duplicate host in the broadcast dim
             # would DUPLICATE every matching row through the join).
             bits = val.split()
+            # comment-only line ('SearchEngine # ...'): the '#' token is
+            # NOT a host — registering it would silently replace the
+            # dims-table engine dim with junk (any non-empty
+            # cfg.search_engines wins in run_pipeline). Mirror the
+            # PageType branch: warn-and-continue.
+            if bits[0].startswith("#"):
+                unknown.append(parts[0])
+                continue
             param = "q"
             if len(bits) > 1 and not bits[1].startswith("#"):
                 param = bits[1].rstrip("=")

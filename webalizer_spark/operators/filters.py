@@ -49,14 +49,24 @@ def page_predicate(page_types: Sequence[str],
                    tool_col: str = "tool") -> Column:
     """P7: the "is this row a page?" predicate [webalizer.c ƒispage].
 
-    With PageType patterns configured, a row is a page when its path
-    matches the list (the reference's extension-list semantics via the
-    same wildcard grammar); without, the engine's default recast applies
-    (tool IS NOT NULL — tool-call turns are the page analog).
+    With PageType patterns configured, reference ispage() semantics
+    apply to the path's EXTENSION, not the whole path: the text after
+    the last '.' is wildcard-matched against the list, and a path with
+    no extension (no '.' past the first char — ispage treats a leading
+    dot as no extension) or a trailing '/' is ALWAYS a page. Without
+    patterns, the engine's default recast applies (tool IS NOT NULL —
+    tool-call turns are the page analog).
     """
     if not page_types:
         return F.col(tool_col).isNotNull()
-    return wildcard_match(F.col(path_col), page_types)
+    p = F.col(path_col)
+    # ispage: cp2==str (last dot at index 0 or absent) or trailing '/'
+    extension_less = F.locate(".", p, 2) == 0
+    trailing_slash = p.endswith("/")
+    ext = F.substring_index(p, ".", -1)
+    return F.coalesce(
+        extension_less | trailing_slash | wildcard_match(ext, page_types),
+        F.lit(False))
 
 
 def ignore_include(df: DataFrame, col: str,

@@ -373,6 +373,12 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         stored_crc8 = rd.read(8)
         if _crc8(payload[frame_start:rd.bytepos - 1]) != stored_crc8:
             raise ValueError("FLAC frame header CRC-8 mismatch")
+        if ss_code in (3, 7):
+            # 0b011 reserved / 0b111 (32-bit) unsupported here: decoding
+            # with a guessed bit depth would be silently wrong — take the
+            # codec's honest-refusal path instead of relying on the frame
+            # CRC to catch it incidentally (round-4 advice)
+            raise ValueError(f"unsupported FLAC sample-size code {ss_code}")
         fbps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code, bps)
 
         # subframe (mono: exactly one)

@@ -45,16 +45,25 @@ def with_rank(df: DataFrame, metric: str, key: str, n: int) -> DataFrame:
     # the row side and the broadcast side read it — without it the input
     # lineage (often an aggregation over the full table) executes twice
     cut = top_n(df, metric, key, n).localCheckpoint(eager=False)
-    other = cut.select(F.col(metric).alias("_rm"), F.col(key).alias("_rk"))
+    # _hit marks a real match: count(_rk) would skip a NULL-key match,
+    # while count(*) would count the unmatched left row — both wrong
+    other = cut.select(F.col(metric).alias("_rm"), F.col(key).alias("_rk"),
+                       F.lit(1).alias("_hit"))
     m, o = F.col(metric), F.col("_rm")
+    k, ok_ = F.col(key), F.col("_rk")
     # NULL metrics sort LAST (desc_nulls_last, matching top_n's orderBy):
-    # a NULL row is "before" nothing except by key among other NULLs
+    # a NULL row is "before" nothing except by key among other NULLs.
+    # The key tiebreak is null-safe to match top_n's asc() = NULLS FIRST:
+    # a NULL key is before every non-null key; '<' alone yields NULL on
+    # either side NULL, which made a NULL-key row and its tied non-null
+    # neighbor BOTH rank 1 (round-4 advice).
+    key_before = (ok_.isNull() & k.isNotNull()) | (ok_ < k)
     before = (o.isNotNull() & m.isNull()) | (o > m) | (
-        o.eqNullSafe(m) & (F.col("_rk") < F.col(key)))
+        o.eqNullSafe(m) & key_before)
     return (
         cut.join(F.broadcast(other), before, "left")
         .groupBy(*cut.columns)
-        .agg((F.count("_rk") + F.lit(1)).cast("int").alias("rank"))
+        .agg((F.count("_hit") + F.lit(1)).cast("int").alias("rank"))
     )
 
 

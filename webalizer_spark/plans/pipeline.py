@@ -252,9 +252,16 @@ def run_pipeline(
             spine.filter(F.col("ident").isNotNull()), "ident",
             cfg.lists.group_user)
     if cfg.group_domains:
-        # GroupDomains N [webalizer.c ƒget_domain]: referrer hosts rolled
-        # up to their last-N labels — one tiny-key groupBy over the spine
-        # (engine_host is already on the spine from the J4 enrich join)
+        # GroupDomains N — RECAST NOTE [webalizer.c ƒget_domain]: the
+        # reference keyword rolls up SITES (client hostnames) to their
+        # last-N domain labels. This engine's site analog is conv_id
+        # (an opaque conversation id, never host-shaped — input_hint),
+        # so a literal site rollup would be the per_site table verbatim.
+        # The spine's only host-shaped surface is the referrer host, so
+        # this recast's grouped_domains is a REFERRER-domain rollup:
+        # same ƒget_domain last-N-label math, applied to engine_host
+        # (the parsed referrer host from the J4 enrich) — one tiny-key
+        # groupBy over the spine. Documented divergence (round-4 advice).
         from webalizer_spark.functions.scalars import get_domain
         reports["grouped_domains"] = (
             spine.filter(F.col("engine_host").isNotNull())

@@ -228,7 +228,9 @@ def evt_month_summary(spark, sf):
         F.round(F.avg("total_value"), 6).alias("avg_value"),
         F.round(F.max("total_value"), 6).alias("max_value"),
     )
-    return sess.crossJoin(am)
+    # both sides are one-row aggregates; broadcast explicitly for the
+    # same BroadcastNestedLoopJoin shape topn.with_share pins
+    return sess.crossJoin(F.broadcast(am))
 
 
 @qu("evt_entry_types", _SESSION_CTE + """
