@@ -82,7 +82,7 @@ _DSUM_SQL = "CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
 # (user_id ~ site/conv, event_type ~ tool/url, value ~ bytes)
 # =========================================================================
 
-@q("evt_top_event_types", f"""
+@qu("evt_top_event_types", f"""
 SELECT event_type,
        COUNT(*) AS hits,
        {_DSUM_SQL.format(c='value')} AS total_value,
@@ -92,7 +92,10 @@ FROM events GROUP BY event_type
 def evt_top_event_types(spark, sf):
     """A2/T2 analog + F10: per-dimension agg feeding the top-N table,
     with the %-of-total share column every reference table prints
-    [output.c table bodies] via topn.with_share."""
+    [output.c table bodies] via topn.with_share.
+    Ungraded since r5: A2/T2/F10 are graded first-party by
+    tr2_top_tools (same operators over the parse path); slot freed for
+    tr2_resume."""
     from webalizer_spark.operators.topn import with_share
     agg = _t(spark, sf, "events").groupBy("event_type").agg(
         F.count(F.lit(1)).alias("hits"),
@@ -118,7 +121,7 @@ def evt_hourly_totals(spark, sf):
     )
 
 
-@q("evt_daily_totals", f"""
+@qu("evt_daily_totals", f"""
 SELECT date_trunc('day', ts) AS day_ts,
        COUNT(*) AS hits,
        COUNT(DISTINCT user_id) AS sites,
@@ -127,7 +130,10 @@ SELECT date_trunc('day', ts) AS day_ts,
 FROM events GROUP BY 1
 """)
 def evt_daily_totals(spark, sf):
-    """A8: daily totals incl. per-day distinct sites (sd_htab analog)."""
+    """A8: daily totals incl. per-day distinct sites (sd_htab analog).
+    Ungraded since r5: A8 is graded first-party by tr2_daily_totals and
+    end-to-end (incl. merge) by tr2_resume; slot freed for
+    tr2_chronology."""
     return _t(spark, sf, "events").groupBy(
         F.date_trunc("day", "ts").alias("day_ts")).agg(
         F.count(F.lit(1)).alias("hits"),
@@ -1460,6 +1466,9 @@ def emb_near_dup_keep(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
+    # round-5 flagship: checkpoint/resume (S8/A13) + chronology (P5)
+    # oracles — the last two big §2 surfaces that were pytest-only
+    "tr2_resume", "tr2_chronology",
     # round-4 flagship: composed parse->sessionize->entry/exit lifecycle
     # oracle + the A3/A4/A11 first-party rows
     "tr2_sessions", "tr2_per_referrer", "tr2_per_agent", "tr2_per_class",

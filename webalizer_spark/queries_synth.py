@@ -604,6 +604,140 @@ def tr2_per_class(spark, sf):
     return per_class(enriched)
 
 
+# ---------------------------------------------------------------------------
+# S8/A13 incremental checkpoint/resume + P5 chronology oracles — the last
+# two big §2 surfaces that were pytest-only (round-4 verdict items 2+3)
+# ---------------------------------------------------------------------------
+
+# deterministic mid-month split point: the driver's events table spans
+# 2024-01-01..2024-01-30 at every SF
+_CUTOFF = "2024-01-16 00:00:00"
+
+
+def _resume_base(spark, sf):
+    """Parsed synth rows renamed to the checkpoint operators' contract
+    (conv_id/turn_idx/ts/status/tool/nbytes) — actor is the conv analog,
+    ts is the PARSED timestamp, and a deterministic subset gets a tool
+    so the pages metric is non-trivial on both sides."""
+    p = _parsed(spark, sf).filter(F.col("parse_ok"))
+    return p.select(
+        F.col("actor").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("ts_text").alias("ts"),
+        "status",
+        F.when(F.col("event_id") % 5 == 0, F.lit("t")).alias("tool"),
+        "nbytes")
+
+
+@q("tr2_resume", _BASE_CTE + """
+, o3 AS (
+  SELECT event_id, actor AS conv_id, ts_text AS ts, status, nbytes,
+         CASE WHEN event_id % 5 = 0 THEN 't' END AS tool,
+         CAST(floor(epoch(ts_text)) AS BIGINT) AS es
+  FROM final WHERE parse_ok
+), f3 AS (
+  SELECT *,
+         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w >= 1800
+              THEN 1 ELSE 0 END AS isnew
+  FROM o3
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
+)
+SELECT date_trunc('day', ts) AS day_ts,
+       COUNT(*) AS hits,
+       COUNT(*) FILTER (WHERE status = 200) AS files,
+       COUNT(*) FILTER (WHERE tool IS NOT NULL) AS pages,
+       COUNT(*) FILTER (WHERE status >= 400) AS errors,
+       CAST(SUM(nbytes) AS BIGINT) AS bytes,
+       COUNT(*) FILTER (WHERE isnew = 1) AS visits,
+       COUNT(DISTINCT conv_id) AS sites
+FROM f3 GROUP BY 1
+""")
+def tr2_resume(spark, sf):
+    """S8/A13 oracle [preserve.c ƒsave_state/ƒrestore_state]: the REAL
+    checkpoint/resume machinery graded end-to-end. Batch 1 (rows at or
+    before the mid-month cutoff) is sessionized and checkpointed with
+    save_state (per-conv last_ts/session counts, additive daily state,
+    day-conv presence pairs, watermark manifest); the full table is then
+    fed back through resume_filter (P6 — only rows past the saved
+    watermark survive), resume_sessionize (session numbering stitched to
+    the saved per-conv state, within-timeout first rows merged into the
+    saved visit), and merge_daily (A13 additive merge + mergeable
+    distinct-sites). The oracle re-derives the SAME daily table from a
+    single global pass in DuckDB — split+checkpoint+resume must equal
+    never-having-split, bit-exact, including visit starts across the
+    batch boundary."""
+    import tempfile
+
+    from webalizer_spark.operators.sessionize import sessionize
+    from webalizer_spark.plans.checkpoint import (
+        CheckpointPaths,
+        merge_daily,
+        resume_filter,
+        resume_sessionize,
+        save_state,
+    )
+
+    base = _resume_base(spark, sf)
+    ckpt = CheckpointPaths(tempfile.mkdtemp(prefix="tr2_resume_"))
+    b1 = base.filter(F.col("ts") <= F.lit(_CUTOFF).cast("timestamp"))
+    save_state(sessionize(b1, 1800), ckpt)
+    b2 = resume_filter(base, ckpt)
+    s2 = resume_sessionize(b2, ckpt, 1800)
+    merged = merge_daily(s2, ckpt)
+    return merged.select("day_ts", "hits", "files", "pages", "errors",
+                         "bytes", "visits", "sites")
+
+
+@q("tr2_chronology", _BASE_CTE + """
+, okr AS (SELECT ts_text FROM final WHERE parse_ok)
+SELECT 'drop' AS branch, date_trunc('day', ts_text) AS day_ts,
+       COUNT(*) AS hits, CAST(0 AS BIGINT) AS folded
+FROM okr WHERE ts_text > TIMESTAMP '2024-01-16 00:00:00' GROUP BY 2
+UNION ALL
+SELECT 'fold' AS branch,
+       date_trunc('day',
+           greatest(ts_text, TIMESTAMP '2024-01-16 00:00:00')) AS day_ts,
+       COUNT(*) AS hits,
+       COUNT(*) FILTER (
+           WHERE ts_text <= TIMESTAMP '2024-01-16 00:00:00') AS folded
+FROM okr GROUP BY 2
+""")
+def tr2_chronology(spark, sf):
+    """P5 oracle [webalizer.c "record out of sequence" / FoldSeqErr]:
+    BOTH chronology branches of resume_filter against a fixed watermark.
+    drop branch (FoldSeqErr off, the default): out-of-sequence records
+    (ts at-or-before the watermark) are discarded entirely. fold branch
+    (FoldSeqErr on): late records are KEPT but treated as if they
+    occurred at the watermark (ts folded up, tagged seq_folded) so they
+    still count — all late rows land in the watermark's day bucket. The
+    oracle re-derives both branches independently in DuckDB."""
+    import json
+    import os
+    import tempfile
+
+    from webalizer_spark.plans.checkpoint import CheckpointPaths, resume_filter
+
+    base = _resume_base(spark, sf)
+    d = tempfile.mkdtemp(prefix="tr2_chron_")
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump({"version": 1, "watermark": _CUTOFF,
+                   "total_rows": 0, "partitions": []}, f)
+    ckpt = CheckpointPaths(d)
+    day = F.date_trunc("day", "ts").alias("day_ts")
+    drop_agg = (resume_filter(base, ckpt)
+                .groupBy(day)
+                .agg(F.count(F.lit(1)).alias("hits"))
+                .withColumn("folded", F.lit(0).cast("long"))
+                .withColumn("branch", F.lit("drop")))
+    fold_agg = (resume_filter(base, ckpt, fold_seq_err=True)
+                .groupBy(day)
+                .agg(F.count(F.lit(1)).alias("hits"),
+                     F.count_if(F.col("seq_folded")).alias("folded"))
+                .withColumn("branch", F.lit("fold")))
+    return (drop_agg.unionByName(fold_agg)
+            .select("branch", "day_ts", "hits", "folded"))
+
+
 # Re-apply the priority reorder + 50-row guard now that the tr2_* rows
 # exist. Required on the queries_synth-first import path (the driver's
 # __spark_entry__): the circular import runs queries.py's bottom while
