@@ -161,20 +161,56 @@ def test_jpeg_codec_round_trip_psnr():
         decode_jpeg_gray(bytes(good))
 
 
+def test_jpeg_color_round_trip_psnr():
+    """Color baseline JPEG (3-component YCbCr) is a REAL codec — 4:4:4
+    and 4:2:0 both round-trip within lossy bounds on chroma-smooth
+    content (random RGB noise is NOT chroma-smooth; real images are),
+    and the gray decoder still refuses color streams."""
+    from webalizer_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(12)
+    for h, w in [(16, 16), (17, 23), (48, 56)]:
+        # smooth gradients + mild noise: the content class JPEG targets
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack([(xx * 255 / max(w - 1, 1)),
+                         (yy * 255 / max(h - 1, 1)),
+                         ((xx + yy) * 255 / max(h + w - 2, 1))], axis=-1)
+        img = np.clip(base + rng.normal(0, 4, (h, w, 3)), 0,
+                      255).astype(np.uint8)
+        for ss, tol in (("444", 8.0), ("420", 16.0)):
+            dec, shape = decode_jpeg(encode_jpeg_color(img, 95, ss))
+            assert shape == (h, w, 3)
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.mean() < tol, (h, w, ss, err.mean())
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_jpeg_gray(encode_jpeg_color(img, 90, "444"))
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg_color(img, 90, "422x")
+
+
 def test_fixture_contains_real_jpeg(spark, media):
-    """The fixture ships genuine baseline JPEGs; the Spark decode path
-    extracts features from them (lossy decode, deterministic values)."""
-    from webalizer_spark.operators.jpeg import decode_jpeg_gray
+    """The fixture ships genuine baseline JPEGs — grayscale AND color
+    (4:2:0 + 4:4:4); the Spark decode path extracts features from both
+    (lossy decode, deterministic values)."""
+    from webalizer_spark.operators.jpeg import decode_jpeg
 
     rows = media.select("media_id", "kind", "payload").collect()
     jpg = [r for r in rows if bytes(r["payload"][:2]) == b"\xff\xd8"]
     assert len(jpg) > 0
     feats = extract_features(media).toPandas()
+    shapes = set()
     for r in jpg:
-        arr, (h, w) = decode_jpeg_gray(bytes(r["payload"]))
+        arr, shape = decode_jpeg(bytes(r["payload"]))
+        shapes.add(len(shape))
         got = feats[feats["media_id"] == r["media_id"]].iloc[0]
-        assert bool(got["ok"]) and got["decoded_shape"] == f"{h}x{w}"
+        assert bool(got["ok"])
+        assert got["decoded_shape"] == "x".join(map(str, shape))
         assert abs(got["mean_val"] - float(arr.mean())) < 1e-12
+    assert shapes == {2, 3}    # both gray and color JPEGs present
 
 
 def test_y4m_codec_round_trip():

@@ -1,18 +1,20 @@
-"""Pure-Python baseline JPEG codec (grayscale, SOF0) — numpy + stdlib.
+"""Pure-Python baseline JPEG codec (grayscale + YCbCr color, SOF0) —
+numpy + stdlib.
 
-Closes the last external-library gap in operators/multimodal.py for
-images: JFIF baseline sequential DCT, single component (grayscale),
-8-bit, no subsampling. The ENCODER emits a spec-correct stream (SOI /
-APP0 / DQT / SOF0 / DHT / SOS / EOI, Annex-K luminance tables scaled by
-quality, canonical Huffman codes, 0xFF byte stuffing); the DECODER
-parses DQT/SOF0/DHT/SOS from the FILE — not from compiled-in constants —
-so any other tool's baseline grayscale JPEG decodes too, and a
+Closes the external-library gap in operators/multimodal.py for images:
+JFIF baseline sequential DCT, 8-bit, 1-component grayscale or
+3-component YCbCr with 4:4:4 / 4:2:0 (and 4:2:2) chroma subsampling.
+The ENCODER emits a spec-correct stream (SOI / APP0 / DQT / SOF0 / DHT /
+SOS / EOI, Annex-K luminance+chrominance tables scaled by quality,
+canonical Huffman codes, MCU-interleaved scan, 0xFF byte stuffing); the
+DECODER parses DQT/SOF0/DHT/SOS from the FILE — not from compiled-in
+constants — so any other tool's baseline JPEG decodes too, and a
 transcription slip in our default tables could not self-cancel.
 
 Out of scope (raise ValueError, routed as corrupt/unsupported by
-decode_media): progressive (SOF2), arithmetic coding, multi-component
-color, restart markers. Color/progressive remain on the external-lib
-path (`_decode_real`).
+decode_media): progressive (SOF2), arithmetic coding, restart markers,
+>2x sampling factors. Progressive remains on the external-lib path
+(`_decode_real`).
 
 JPEG is lossy: round-trip tests assert PSNR-style bounds, not equality
 (unlike the exact BMP/PNG/WAV codecs).
@@ -40,9 +42,25 @@ _QUANT_BASE = np.array([
     [72, 92, 95, 98, 112, 100, 103, 99],
 ], dtype=np.int32)
 
+# Annex K.2 chrominance quantization table (quality 50 base)
+_QUANT_BASE_C = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
 # Annex K.3: luminance DC — code lengths histogram + symbol order
 _DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
+
+# Annex K.4: chrominance DC
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
 
 # Annex K.5: luminance AC
 _AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
@@ -61,6 +79,27 @@ _AC_VALS = [
     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+# Annex K.6: chrominance AC
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
@@ -91,11 +130,15 @@ def _dct_matrix() -> np.ndarray:
 _DCT = _dct_matrix()
 
 
-def _quant_table(quality: int) -> np.ndarray:
+def _quant_table(quality: int, base: np.ndarray | None = None) -> np.ndarray:
     quality = min(100, max(1, quality))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (_QUANT_BASE * scale + 50) // 100
+    q = ((base if base is not None else _QUANT_BASE) * scale + 50) // 100
     return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _quant_table_c(quality: int) -> np.ndarray:
+    return _quant_table(quality, _QUANT_BASE_C)
 
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -182,6 +225,59 @@ def _extend(bits: int, size: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _encode_block(bw: _BitWriter, block: np.ndarray, q: np.ndarray,
+                  dc_codes: dict, ac_codes: dict, prev_dc: int) -> int:
+    """FDCT + quantize + Huffman-encode one centered 8x8 block; returns
+    the new DC predictor."""
+    coef = _DCT @ block @ _DCT.T
+    qc = np.round(coef / q).astype(np.int32)
+    zz = qc.flatten()[_ZZ]
+    # DC (differential)
+    size, bits = _magnitude(int(zz[0]) - prev_dc)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    # AC run-length
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]       # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]           # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _pad_to(img: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad a float plane to (ph, pw)."""
+    h, w = img.shape
+    out = np.empty((ph, pw), dtype=np.float64)
+    out[:h, :w] = img
+    if ph > h:
+        out[h:, :w] = img[-1:, :]
+    if pw > w:
+        out[:, w:] = out[:, w - 1:w]
+    return out
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
 def encode_jpeg_gray(gray: np.ndarray, quality: int = 90) -> bytes:
     """Encode a HxW uint8 grayscale array as a baseline JFIF JPEG."""
     h, w = gray.shape
@@ -191,60 +287,92 @@ def encode_jpeg_gray(gray: np.ndarray, quality: int = 90) -> bytes:
 
     ph = (h + 7) // 8 * 8
     pw = (w + 7) // 8 * 8
-    img = np.empty((ph, pw), dtype=np.float64)
-    img[:h, :w] = gray
-    img[h:, :w] = gray[-1:, :]          # edge-replicate padding
-    img[:, w:] = img[:, w - 1:w]
-    img -= 128.0
+    img = _pad_to(gray.astype(np.float64), ph, pw) - 128.0
 
     bw = _BitWriter()
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            block = img[by:by + 8, bx:bx + 8]
-            coef = _DCT @ block @ _DCT.T
-            qc = np.round(coef / q).astype(np.int32)
-            zz = qc.flatten()[_ZZ]
-            # DC (differential)
-            size, bits = _magnitude(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, ln = dc_codes[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(bits, size)
-            # AC run-length
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]       # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, ln = ac_codes[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(bits, size)
-                run = 0
-            if last < 63:
-                code, ln = ac_codes[0x00]           # EOB
-                bw.write(code, ln)
+            prev_dc = _encode_block(bw, img[by:by + 8, bx:bx + 8], q,
+                                    dc_codes, ac_codes, prev_dc)
     scan = bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
     out = bytearray(b"\xff\xd8")                                   # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, bytes([0]) + bytes(q.flatten()[_ZZ].astype(np.uint8)))
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(q.flatten()[_ZZ].astype(np.uint8)))
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"                                             # EOI
+    return bytes(out)
+
+
+def encode_jpeg_color(rgb: np.ndarray, quality: int = 90,
+                      subsample: str = "420") -> bytes:
+    """Encode a HxWx3 uint8 RGB array as a baseline JFIF YCbCr JPEG with
+    4:2:0 (default) or 4:4:4 chroma, MCU-interleaved scan [T.81 B.2.3;
+    JFIF 1.02 color transform]."""
+    if subsample not in ("420", "444"):
+        raise ValueError(f"unsupported subsample {subsample!r}")
+    h, w, nc = rgb.shape
+    if nc != 3:
+        raise ValueError("encode_jpeg_color needs HxWx3 RGB")
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    # JFIF: planes stored centered at 0 (Y-128; Cb/Cr are already +-128)
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    hs = vs = 2 if subsample == "420" else 1
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcux = (w + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
+    y = _pad_to(y, mcuy * mcu_h, mcux * mcu_w)
+    cb = _pad_to(cb, mcuy * mcu_h, mcux * mcu_w)
+    cr = _pad_to(cr, mcuy * mcu_h, mcux * mcu_w)
+    if subsample == "420":
+        # 2x2 mean downsample (matches the decoder's replicate upsample)
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+
+    qy, qc = _quant_table(quality), _quant_table_c(quality)
+    dc_y = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_y = _canonical_codes(_AC_BITS, _AC_VALS)
+    dc_c = _canonical_codes(_DC_BITS_C, _DC_VALS_C)
+    ac_c = _canonical_codes(_AC_BITS_C, _AC_VALS_C)
+
+    bw = _BitWriter()
+    pdc = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(vs):                       # Y blocks, raster
+                for hh in range(hs):
+                    by = (my * vs + v) * 8
+                    bx = (mx * hs + hh) * 8
+                    pdc[0] = _encode_block(bw, y[by:by + 8, bx:bx + 8],
+                                           qy, dc_y, ac_y, pdc[0])
+            for ci, plane in ((1, cb), (2, cr)):      # one chroma block
+                by, bx = my * 8, mx * 8
+                pdc[ci] = _encode_block(bw, plane[by:by + 8, bx:bx + 8],
+                                        qc, dc_c, ac_c, pdc[ci])
+    scan = bw.flush()
+
+    samp = (hs << 4) | vs
+    out = bytearray(b"\xff\xd8")                                   # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0]) + bytes(qy.flatten()[_ZZ].astype(np.uint8)))
+    out += _seg(0xFFDB, bytes([1]) + bytes(qc.flatten()[_ZZ].astype(np.uint8)))
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+                + bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+    out += _seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += scan
     out += b"\xff\xd9"                                             # EOI
     return bytes(out)
@@ -255,17 +383,59 @@ def encode_jpeg_gray(gray: np.ndarray, quality: int = 90) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg_gray(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
-    """Decode a baseline grayscale JPEG to HxW uint8. Tables come from
-    the file's own DQT/DHT segments. Raises ValueError on non-baseline /
-    color / corrupt streams."""
+def _decode_sym(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | rd.read_bit()
+        ln += 1
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _decode_block(rd: _BitReader, dct: dict, act: dict, q: np.ndarray,
+                  prev_dc: int) -> tuple[np.ndarray, int]:
+    """Huffman-decode + dequantize + IDCT one 8x8 block."""
+    zz = np.zeros(64, dtype=np.int32)
+    size = _decode_sym(rd, dct)
+    prev_dc += _extend(rd.read_bits(size), size)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _decode_sym(rd, act)
+        if sym == 0x00:                   # EOB
+            break
+        if sym == 0xF0:                   # ZRL
+            k += 16
+            if k > 64:
+                raise ValueError("JPEG AC index overflow")
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        zz[k] = _extend(rd.read_bits(size), size)
+        k += 1
+    coef = (zz[_INV_ZZ].reshape(8, 8) * q).astype(np.float64)
+    return _DCT.T @ coef @ _DCT, prev_dc
+
+
+def decode_jpeg(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
+    """Decode a baseline JPEG: grayscale -> (HxW uint8, (h, w)); YCbCr
+    color -> (HxWx3 uint8 RGB, (h, w, 3)), handling 4:4:4 / 4:2:0 /
+    4:2:2 chroma via replicate upsample. Tables come from the file's own
+    DQT/DHT segments. Raises ValueError on non-baseline (progressive,
+    arithmetic), restart-interval, or corrupt streams."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = None
-    comp_dc = comp_ac = comp_q = 0
+    comps: list[tuple[int, int, int, int]] = []   # (cid, hs, vs, tq)
+    scan_map: dict[int, tuple[int, int]] = {}     # cid -> (dc_id, ac_id)
+    scan_order: list[int] = []
     scan = None
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -303,11 +473,17 @@ def decode_jpeg_gray(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
             raise ValueError("unsupported JPEG (not baseline sequential)")
         elif marker == 0xFFC0:
             depth, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if depth != 8 or ncomp != 1:
+            if depth != 8 or ncomp not in (1, 3):
                 raise ValueError(
                     f"unsupported JPEG (depth={depth}, components={ncomp}; "
-                    "need 8-bit grayscale)")
-            comp_q = body[8]      # [id, sampling, quant-table id]
+                    "need 8-bit, 1 or 3 components)")
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"unsupported JPEG (sampling {hs}x{vs})")
+                comps.append((cid, hs, vs, tq))
         elif marker == 0xFFC4:
             i = 0
             while i < len(body):
@@ -320,7 +496,11 @@ def decode_jpeg_gray(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
                                   for sym, (c, ln) in codes.items()}
                 i += 17 + nv
         elif marker == 0xFFDA:
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            for c in range(ns):
+                cs, tda = body[1 + 2 * c], body[2 + 2 * c]
+                scan_map[cs] = (tda >> 4, tda & 0x0F)
+                scan_order.append(cs)
             # entropy data runs from after this segment to EOI
             scan_start = pos + 2 + ln
             end = payload.rfind(b"\xff\xd9")
@@ -331,49 +511,76 @@ def decode_jpeg_gray(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         pos += 2 + ln
     if scan is None or h is None:
         raise ValueError("JPEG missing SOF/SOS")
-    if comp_q not in quant or (0, comp_dc) not in huff \
-            or (1, comp_ac) not in huff:
-        raise ValueError("JPEG missing tables")
+    if len(scan_order) != len(comps) \
+            or any(cid not in scan_map for cid, *_ in comps):
+        raise ValueError("unsupported JPEG (multi-scan / partial scan)")
+    for cid, _hs, _vs, tq in comps:
+        dc_id, ac_id = scan_map[cid]
+        if tq not in quant or (0, dc_id) not in huff \
+                or (1, ac_id) not in huff:
+            raise ValueError("JPEG missing tables")
 
-    def decode_sym(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | rd.read_bit()
-            ln += 1
-            sym = table.get((code, ln))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
-
-    q = quant[comp_q]
-    dct, act = huff[(0, comp_dc)], huff[(1, comp_ac)]
     rd = _BitReader(scan)
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    img = np.zeros((ph, pw), dtype=np.float64)
-    prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            zz = np.zeros(64, dtype=np.int32)
-            size = decode_sym(rd, dct)
-            prev_dc += _extend(rd.read_bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = decode_sym(rd, act)
-                if sym == 0x00:                   # EOB
-                    break
-                if sym == 0xF0:                   # ZRL
-                    k += 16
-                    if k > 64:
-                        raise ValueError("JPEG AC index overflow")
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC index overflow")
-                zz[k] = _extend(rd.read_bits(size), size)
-                k += 1
-            coef = (zz[_INV_ZZ].reshape(8, 8) * q).astype(np.float64)
-            img[by:by + 8, bx:bx + 8] = _DCT.T @ coef @ _DCT
-    out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
-    return np.ascontiguousarray(out[:h, :w]), (int(h), int(w))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(comps) == 1:
+        # non-interleaved single-component scan: MCU = ONE block
+        # [T.81 A.2.2], sampling factors do not tile the scan
+        cid, _hs, _vs, tq = comps[0]
+        dc_id, ac_id = scan_map[cid]
+        dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
+        q = quant[tq]
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        img = np.zeros((ph, pw), dtype=np.float64)
+        prev_dc = 0
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                img[by:by + 8, bx:bx + 8], prev_dc = _decode_block(
+                    rd, dct, act, q, prev_dc)
+        out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(out[:h, :w]), (int(h), int(w))
+
+    # interleaved 3-component scan [T.81 B.2.3]: per MCU, each component
+    # contributes vs x hs blocks in raster order
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.float64)
+              for _cid, hs, vs, _tq in comps]
+    pdc = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dc_id, ac_id = scan_map[cid]
+                dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
+                q = quant[tq]
+                for v in range(vs):
+                    for hh in range(hs):
+                        by = (my * vs + v) * 8
+                        bx = (mx * hs + hh) * 8
+                        blk, pdc[ci] = _decode_block(rd, dct, act, q, pdc[ci])
+                        planes[ci][by:by + 8, bx:bx + 8] = blk
+
+    full = []
+    for (cid, hs, vs, _tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                       hmax // hs, axis=1)
+        full.append(up[:h, :w])
+    y, cb, cr = full[0] + 128.0, full[1], full[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.ascontiguousarray(out), (int(h), int(w), 3)
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """Decode a baseline GRAYSCALE JPEG to HxW uint8 (the pre-color
+    entrypoint; color streams raise like they always did here — use
+    decode_jpeg for 3-component YCbCr)."""
+    arr, shape = decode_jpeg(payload)
+    if len(shape) != 2:
+        raise ValueError(
+            f"unsupported JPEG (components={shape[-1]}; need 8-bit "
+            "grayscale — use decode_jpeg for color)")
+    return arr, shape

@@ -8,14 +8,16 @@ Catalyst expressions).
 
 Codec status: BMP (24-bit uncompressed), WAV (PCM16 mono), PNG (8-bit
 gray/RGB non-interlaced; stdlib zlib inflate + numpy unfilter incl. the
-Paeth predictor) and baseline JPEG (grayscale SOF0 — DCT + canonical
-Huffman, operators/jpeg.py; tables parsed from the file, lossy
-round-trip with PSNR-bounded tests) are REAL codecs implemented here —
-the fixture generator emits genuine .bmp/.wav/.png/.jpg payloads, and
-the feature/resize paths decode them like any external tool would.
-Video ships as REAL YUV4MPEG2 (C420 luma) streams any ffmpeg reads.
-Formats still needing external libraries (color/progressive JPEG, FLAC,
-compressed video codecs) go through `_decode_real`, which raises
+Paeth predictor), baseline JPEG (grayscale SOF0 AND 3-component YCbCr
+color with 4:4:4/4:2:0 chroma since round 5 — DCT + canonical Huffman,
+operators/jpeg.py; tables parsed from the file, lossy round-trip with
+PSNR-bounded tests) and FLAC (RFC 9639 subset, operators/flac.py,
+lossless) are REAL codecs implemented here — the fixture generator
+emits genuine .bmp/.wav/.png/.jpg/.flac payloads, and the
+feature/resize paths decode them like any external tool would. Video
+ships as REAL YUV4MPEG2 (C420 luma) streams any ffmpeg reads. Formats
+still needing external libraries (progressive JPEG and compressed video
+codecs ONLY) go through `_decode_real`, which raises
 NotImplementedError behind an import-try (PIL / soundfile are not in
 the sandbox image); the deterministic fake container covers those rows
 in tests. decode_media() sniffs the payload magic and dispatches —
@@ -297,12 +299,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     """Deterministic media fixture. Image rows rotate through REAL
     24-bit BMPs (i%6==0), REAL Paeth-filtered PNGs (i%12==3), REAL
-    baseline JPEGs (i%24==9) and the fake container (i%24==21, keeping
-    the _decode_fake image branch fixture-covered); audio rows rotate
-    through REAL PCM16 WAVs (i odd), REAL FLAC streams (i%12==4) and
-    the fake container; half the video rows are REAL YUV4MPEG2
-    streams (i%6==2); the rest use the self-describing fake container
-    (standing in for PIL-only formats)."""
+    baseline grayscale JPEGs (i%48==9), REAL color YCbCr JPEGs
+    (i%48==21 -> 4:2:0, i%48==33 -> 4:4:4) and the fake container
+    (i%48==45, keeping the _decode_fake image branch fixture-covered);
+    audio rows rotate through REAL PCM16 WAVs (i odd), REAL FLAC
+    streams (i%12==4) and the fake container; half the video rows are
+    REAL YUV4MPEG2 streams (i%6==2); the rest use the self-describing
+    fake container (standing in for PIL-only formats)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -318,9 +321,15 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             payload = encode_bmp24(body.reshape(h, w))
         elif kind == "image" and i % 12 == 3:
             payload = encode_png(body.reshape(h, w))
-        elif kind == "image" and i % 24 == 9:
+        elif kind == "image" and i % 48 == 9:
             from webalizer_spark.operators.jpeg import encode_jpeg_gray
             payload = encode_jpeg_gray(body.reshape(h, w), quality=90)
+        elif kind == "image" and i % 48 in (21, 33):
+            from webalizer_spark.operators.jpeg import encode_jpeg_color
+            rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload = encode_jpeg_color(
+                rgb, quality=90,
+                subsample="420" if i % 48 == 21 else "444")
         elif kind == "audio" and i % 2 == 1:
             payload = encode_wav_pcm16(
                 (body.astype(np.int16) - 128) * 256, sr)
@@ -353,9 +362,9 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     """External-library codec path — requires PIL/av, which the sandbox
-    image lacks. Only color/progressive JPEG and compressed video
-    (mp4/webm) still land here: BMP/PNG/grayscale-JPEG images, WAV/FLAC
-    audio and y4m video all decode natively above."""
+    image lacks. Only progressive JPEG and compressed video (mp4/webm)
+    still land here: BMP/PNG/baseline-JPEG (grayscale AND color) images,
+    WAV/FLAC audio and y4m video all decode natively above."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -386,11 +395,13 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
     if payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
     if payload[:2] == b"\xff\xd8":
-        from webalizer_spark.operators.jpeg import decode_jpeg_gray
+        from webalizer_spark.operators.jpeg import decode_jpeg
         try:
-            return decode_jpeg_gray(payload)
+            # baseline grayscale AND 3-component YCbCr (444/422/420)
+            # decode natively since round 5
+            return decode_jpeg(payload)
         except ValueError:
-            # color/progressive/corrupt JPEG: fall through to the
+            # progressive/corrupt JPEG: fall through to the
             # external-library path (PIL decodes it on a real cluster;
             # in-sandbox it raises and the row routes as corrupt)
             arr = _decode_real(payload, kind)
@@ -454,10 +465,11 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                                           pdf["payload"]):
                 if kind != "image":
                     continue
-                arr, (h, w) = decode_media(bytes(payload), kind)
+                arr, shape = decode_media(bytes(payload), kind)
+                h, w = shape[:2]      # grayscale (h,w) or color (h,w,3)
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
-                small = arr[np.ix_(yi, xi)]
+                small = arr[np.ix_(yi, xi)]   # indexes leading two axes
                 out.append((int(mid), out_w, out_h,
                             hashlib.sha256(small.tobytes()).hexdigest()[:16]))
             yield pd.DataFrame(out, columns=["media_id", "out_w", "out_h",
