@@ -42,6 +42,12 @@ _ENGINE_CONFS: dict[str, str] = {
     # downstream scan. Override via SPARK_GRAFT_PARQUET_CODEC.
     "spark.sql.parquet.compression.codec": os.environ.get(
         "SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+    # shuffle/spill block codec (NOT parquet): candidate scaling lever on
+    # a memory-bandwidth-bound host — zstd moves fewer bytes through the
+    # shuffle at more CPU; measured A/B on the 2->8 protocol in
+    # BENCH_scaling_2to8_r5.json before changing the default
+    "spark.io.compression.codec": os.environ.get(
+        "SPARK_GRAFT_IO_CODEC", "lz4"),
 }
 
 
