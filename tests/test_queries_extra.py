@@ -1,8 +1,34 @@
 from __future__ import annotations
 
-from webalizer_spark.queries import UNGRADED
+from webalizer_spark.queries import UNGRADED, UNGRADED_ORACLE
 
 SF = "/root/testdata/sf0.01"
+
+
+def test_ungraded_split_and_redact_match_duckdb(spark):
+    """The round-5 ungraded oracle rows (hash_split buckets, PII
+    redaction) match their DuckDB twins bit-exact — same check the
+    driver runs for graded rows, executed here because the graded
+    window is capped at 50."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from verify_queries import canon
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF}/documents.parquet'")
+    for name in ("doc_hash_split", "doc_redact"):
+        sdf = UNGRADED[name](spark, SF).toPandas()
+        odf = con.sql(UNGRADED_ORACLE[name]).df()
+        sc, sr = canon(sdf)
+        oc, orows = canon(odf)
+        assert sc == oc, (name, sc, oc)
+        assert sr == orows, (name, len(sr), len(orows))
 
 
 def test_approx_distinct_tolerance(spark):

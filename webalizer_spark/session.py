@@ -42,12 +42,16 @@ _ENGINE_CONFS: dict[str, str] = {
     # downstream scan. Override via SPARK_GRAFT_PARQUET_CODEC.
     "spark.sql.parquet.compression.codec": os.environ.get(
         "SPARK_GRAFT_PARQUET_CODEC", "zstd"),
-    # shuffle/spill block codec (NOT parquet): candidate scaling lever on
-    # a memory-bandwidth-bound host — zstd moves fewer bytes through the
-    # shuffle at more CPU; measured A/B on the 2->8 protocol in
-    # BENCH_scaling_2to8_r5.json before changing the default
+    # shuffle/spill block codec (NOT parquet): zstd moves ~fewer bytes
+    # through the shuffle at more CPU — measured A/B on the 2->8 scaling
+    # protocol (round 5, same session): raw median efficiency 0.865
+    # (pass_0_8 TRUE, first time) vs 0.759 for lz4, AND higher absolute
+    # throughput at both parallelism levels (local[8]: 146-152k vs
+    # 105-140k turns/s) — on a memory-bandwidth-ceilinged box, shrinking
+    # shuffle bytes buys both. BENCH_scaling_2to8_r5{base,zstd}.json
+    # carry the full A/B; override via SPARK_GRAFT_IO_CODEC.
     "spark.io.compression.codec": os.environ.get(
-        "SPARK_GRAFT_IO_CODEC", "lz4"),
+        "SPARK_GRAFT_IO_CODEC", "zstd"),
 }
 
 
