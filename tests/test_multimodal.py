@@ -153,12 +153,57 @@ def test_jpeg_codec_round_trip_psnr():
 
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg_gray(b"\x00\x01" * 8)
-    # progressive (SOF2) must be refused
+    # a baseline stream with its SOF marker flipped to SOF2 is NOT a
+    # valid progressive file (its one scan would be a full-spectrum "DC"
+    # scan, which Annex G forbids): refused, not mis-decoded
     good = bytearray(encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8)))
     sof = bytes(good).find(b"\xff\xc0")
     good[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="not baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_gray(bytes(good))
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) is a REAL codec, not an approximation: the
+    successive-approximation scan script (DC Al=1 + refine, per-component
+    AC Ss=1..63 Al=1 + refine, EOB-run codes across blocks) lands every
+    quantized coefficient at full precision, so progressive decode must
+    equal baseline decode BIT-FOR-BIT at the same quality — a far
+    stronger check than a PSNR bound."""
+    from webalizer_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    for q in (10, 50, 95):
+        for h, w in [(8, 8), (17, 23), (33, 65)]:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            b, _ = decode_jpeg(encode_jpeg_gray(img, q))
+            p, shape = decode_jpeg(encode_jpeg_progressive(img, q))
+            assert shape == (h, w)
+            assert np.array_equal(b, p), ("gray", q, h, w)
+            rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for ss in ("444", "420"):
+                cb, _ = decode_jpeg(encode_jpeg_color(rgb, q, ss))
+                cp, cshape = decode_jpeg(encode_jpeg_progressive(rgb, q, ss))
+                assert cshape == (h, w, 3)
+                assert np.array_equal(cb, cp), ("color", ss, q, h, w)
+    # long EOB runs (mostly-empty blocks) exercise the EOBn machinery
+    flat = np.full((64, 64), 128, dtype=np.uint8)
+    flat[0, 0], flat[63, 63] = 255, 0
+    b, _ = decode_jpeg(encode_jpeg_gray(flat, 50))
+    p, _ = decode_jpeg(encode_jpeg_progressive(flat, 50))
+    assert np.array_equal(b, p)
+    # truncating inside the FIRST scan's entropy data exhausts the bit
+    # reader: refused, not mis-decoded (a cut at a scan boundary would be
+    # a legitimate partial progressive render, so cut mid-scan on purpose)
+    enc = encode_jpeg_progressive(flat, 50)
+    first_sos = enc.find(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:first_sos + 16])
 
 
 def test_jpeg_color_round_trip_psnr():

@@ -11,10 +11,17 @@ DECODER parses DQT/SOF0/DHT/SOS from the FILE — not from compiled-in
 constants — so any other tool's baseline JPEG decodes too, and a
 transcription slip in our default tables could not self-cancel.
 
+Round-5 extension: PROGRESSIVE DCT (SOF2) encode + decode — spectral
+selection and successive approximation per T.81 Annex G (DC first/refine
+scans, per-component AC first/refine scans with EOB-run codes and
+correction bits). Successive approximation is exact: once every scan has
+landed the decoder holds the same quantized coefficients a baseline
+stream would carry, so progressive decode equals baseline decode
+bit-for-bit at the same quality (tests assert exactly that).
+
 Out of scope (raise ValueError, routed as corrupt/unsupported by
-decode_media): progressive (SOF2), arithmetic coding, restart markers,
->2x sampling factors. Progressive remains on the external-lib path
-(`_decode_real`).
+decode_media): arithmetic coding, restart markers, >2x sampling
+factors, 12-bit precision, hierarchical (SOF3/5..15).
 
 JPEG is lossy: round-trip tests assert PSNR-style bounds, not equality
 (unlike the exact BMP/PNG/WAV codecs).
@@ -468,7 +475,11 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                 q[_ZZ] = tbl                      # stored in zigzag order
                 quant[tq] = q.reshape(8, 8)
                 i += 65
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker == 0xFFC2:
+            # progressive DCT: hand the whole stream to the multi-scan
+            # coefficient-domain decoder [T.81 Annex G]
+            return _decode_progressive(payload)
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("unsupported JPEG (not baseline sequential)")
         elif marker == 0xFFC0:
@@ -584,3 +595,535 @@ def decode_jpeg_gray(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
             f"unsupported JPEG (components={shape[-1]}; need 8-bit "
             "grayscale — use decode_jpeg for color)")
     return arr, shape
+
+
+# ---------------------------------------------------------------------------
+# progressive DCT (SOF2) — T.81 Annex G
+# ---------------------------------------------------------------------------
+
+# Flat AC Huffman table for OUR progressive scans: every symbol byte
+# except 0xFF at code length 8 (255 leaves of a 256-leaf depth-8 tree;
+# the all-ones code stays unused as the spec expects). Annex K's
+# sequential AC tables lack the EOBn symbols (0x10..0xE0) progressive
+# scans emit, so a progressive encoder needs its own table anyway —
+# a flat one keeps the canonical-code machinery honest at zero risk of
+# a hand-transcription slip. ~1 byte/symbol is fine for fixtures; the
+# DECODER reads whatever tables the file carries, flat or optimal.
+_AC_BITS_P = [0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS_P = [v for v in range(256) if v != 0xFF]
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """First offset >= start holding a real marker (0xFF + non-stuffing,
+    non-fill byte). Restart markers are out of scope, as in baseline."""
+    i = start
+    n = len(payload)
+    while True:
+        i = payload.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = payload[i + 1]
+        if nxt == 0x00:
+            i += 2
+        elif nxt == 0xFF:
+            i += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            raise ValueError("unsupported JPEG (restart intervals)")
+        else:
+            return i
+
+
+def _comp_block_dims(h: int, w: int, hs: int, vs: int,
+                     hmax: int, vmax: int) -> tuple[int, int]:
+    """Non-interleaved (single-component-scan) block grid [T.81 A.2.2]:
+    ceil over the component's own sample dims, NOT MCU-padded."""
+    cw = (w * hs + hmax - 1) // hmax
+    ch = (h * vs + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_progressive(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
+    """Multi-scan coefficient-domain decode of a progressive JPEG:
+    accumulate DC/AC first+refinement scans into per-component quantized
+    coefficient grids, then dequantize + IDCT + upsample + color-convert
+    once at the end [T.81 G.2; same algorithm family as libjpeg's
+    jdphuff, re-derived from the spec text]."""
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = None
+    comps: list[tuple[int, int, int, int]] = []   # (cid, hs, vs, tq)
+    coefs: list[np.ndarray] = []                  # per comp [by][bx][64] zigzag
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    pos = 2
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker sync")
+        while pos + 2 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("JPEG truncated in marker stream")
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG (16-bit quant)")
+                tbl = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
+                q = np.zeros(64, dtype=np.int32)
+                q[_ZZ] = tbl
+                quant[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                huff[(tc, th)] = {(c, cl): sym for sym, (c, cl)
+                                  in _canonical_codes(bits, vals).items()}
+                i += 17 + nv
+        elif marker == 0xFFC2:
+            if h is not None:
+                raise ValueError("unsupported JPEG (multiple frames)")
+            depth, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if depth != 8 or ncomp not in (1, 3):
+                raise ValueError(
+                    f"unsupported JPEG (depth={depth}, components={ncomp})")
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(f"unsupported JPEG (sampling {hs}x{vs})")
+                comps.append((cid, hs, vs, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                     for _cid, hs, vs, _tq in comps]
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("unsupported JPEG (mixed frame types)")
+        elif marker == 0xFFDD:
+            raise ValueError("unsupported JPEG (restart intervals)")
+        elif marker == 0xFFDA:
+            if h is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_comps: list[tuple[int, int, int]] = []  # (ci, dc_id, ac_id)
+            for c in range(ns):
+                cs, tda = body[1 + 2 * c], body[2 + 2 * c]
+                ci = next((i for i, cc in enumerate(comps) if cc[0] == cs),
+                          None)
+                if ci is None:
+                    raise ValueError("JPEG scan references unknown component")
+                scan_comps.append((ci, tda >> 4, tda & 0x0F))
+            ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            scan_start = pos + 2 + ln
+            end = _entropy_end(payload, scan_start)
+            _decode_prog_scan(
+                _BitReader(payload[scan_start:end]), huff, comps, coefs,
+                scan_comps, ss, se, ah, al, h, w, hmax, vmax, mcux, mcuy)
+            pos = end
+            continue
+        pos += 2 + ln
+    if h is None or not coefs:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    planes = []
+    for (cid, hs, vs, tq), cf in zip(comps, coefs):
+        if tq not in quant:
+            raise ValueError("JPEG missing tables")
+        q = quant[tq]
+        nby, nbx = cf.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coef = (cf[by, bx][_INV_ZZ].reshape(8, 8) * q).astype(
+                    np.float64)
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    _DCT.T @ coef @ _DCT
+        planes.append(plane)
+    if len(comps) == 1:
+        out = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(out[:h, :w]), (int(h), int(w))
+    full = []
+    for (cid, hs, vs, _tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                       hmax // hs, axis=1)
+        full.append(up[:h, :w])
+    y, cb, cr = full[0] + 128.0, full[1], full[2]
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8)
+    return np.ascontiguousarray(out), (int(h), int(w), 3)
+
+
+def _decode_prog_scan(rd: _BitReader, huff: dict, comps: list,
+                      coefs: list, scan_comps: list, ss: int, se: int,
+                      ah: int, al: int, h: int, w: int, hmax: int,
+                      vmax: int, mcux: int, mcuy: int) -> None:
+    """Decode one progressive scan into the coefficient grids."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan with Se != 0")
+        # DC scan: interleaved MCU order when ns > 1, else the single
+        # component's own (non-padded) block raster
+        tables = []
+        for ci, dc_id, _ac_id in scan_comps:
+            if ah == 0 and (0, dc_id) not in huff:
+                raise ValueError("JPEG missing tables")
+            tables.append(huff.get((0, dc_id)))
+        pred = [0] * len(scan_comps)
+        if len(scan_comps) > 1:
+            order = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for si, (ci, _d, _a) in enumerate(scan_comps):
+                        _cid, hs, vs, _tq = comps[ci]
+                        for v in range(vs):
+                            for hh in range(hs):
+                                order.append((si, ci,
+                                              my * vs + v, mx * hs + hh))
+        else:
+            si, (ci, _d, _a) = 0, scan_comps[0]
+            _cid, hs, vs, _tq = comps[ci]
+            cbh, cbw = _comp_block_dims(h, w, hs, vs, hmax, vmax)
+            order = [(si, ci, by, bx)
+                     for by in range(cbh) for bx in range(cbw)]
+        for si, ci, by, bx in order:
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                size = _decode_sym(rd, tables[si])
+                pred[si] += _extend(rd.read_bits(size), size)
+                blk[0] = pred[si] << al
+            else:
+                if rd.read_bit():
+                    blk[0] |= 1 << al
+        return
+
+    # AC scan: exactly one component [T.81 G.1.1.1.1]
+    if len(scan_comps) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    ci, _dc_id, ac_id = scan_comps[0]
+    if (1, ac_id) not in huff:
+        raise ValueError("JPEG missing tables")
+    act = huff[(1, ac_id)]
+    _cid, hs, vs, _tq = comps[ci]
+    cbh, cbw = _comp_block_dims(h, w, hs, vs, hmax, vmax)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for by in range(cbh):
+        for bx in range(cbw):
+            blk = coefs[ci][by, bx]
+            if ah == 0:                          # first pass [G.1.2.2]
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _decode_sym(rd, act)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:              # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1    # EOBn
+                        if r:
+                            eobrun += rd.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC index overflow")
+                    blk[k] = _extend(rd.read_bits(s), s) << al
+                    k += 1
+            else:                                # refinement [G.1.2.3]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _decode_sym(rd, act)
+                        r, s = sym >> 4, sym & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rd.read_bits(r)
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "JPEG refinement size != 1")
+                            newval = p1 if rd.read_bit() else m1
+                        while k <= se:
+                            cv = int(blk[k])
+                            if cv != 0:
+                                if rd.read_bit() and (cv & p1) == 0:
+                                    blk[k] = cv + (p1 if cv >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cv = int(blk[k])
+                        if cv != 0 and rd.read_bit() and (cv & p1) == 0:
+                            blk[k] = cv + (p1 if cv >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder
+# ---------------------------------------------------------------------------
+
+
+def _fdct_quant_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize every 8x8 block of a centered padded plane ->
+    int32 [nby][nbx][64] in zigzag order."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((nby, nbx, 64), dtype=np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            coef = _DCT @ plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ _DCT.T
+            out[by, bx] = np.round(coef / q).astype(np.int32).flatten()[_ZZ]
+    return out
+
+
+class _ProgACState:
+    """Cross-block state of one progressive AC scan: the pending EOB run
+    and (refinement only) the correction bits buffered BEHIND that run —
+    they ride with the EOBn symbol, while a block's own correction bits
+    ride with its next ZRL/coefficient symbol (local `br` in the
+    refinement encoder). Invariant: be_bits nonempty => eobrun > 0."""
+
+    def __init__(self, bw: _BitWriter, ac_codes: dict) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.be_bits: list[int] = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            for b in self.be_bits:
+                self.bw.write(b, 1)
+            self.eobrun = 0
+            self.be_bits = []
+
+
+def _encode_ac_first(st: _ProgACState, vals: np.ndarray, ss: int, se: int,
+                     al: int) -> None:
+    """One block of an AC first pass [T.81 G.1.2.2]: point transform is
+    divide-toward-zero, EOB runs accumulate across blocks."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(vals[k])
+        v = (abs(v) >> al) * (1 if v >= 0 else -1)
+        if v == 0:
+            r += 1
+            continue
+        if st.eobrun:
+            st.emit_eobrun()
+        while r > 15:
+            code, ln = st.ac[0xF0]
+            st.bw.write(code, ln)
+            r -= 16
+        size, bits = _magnitude(v)
+        code, ln = st.ac[(r << 4) | size]
+        st.bw.write(code, ln)
+        st.bw.write(bits, size)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def _encode_ac_refine(st: _ProgACState, vals: np.ndarray, ss: int, se: int,
+                      al: int) -> None:
+    """One block of an AC refinement pass [T.81 G.1.2.3]: newly-nonzero
+    coefficients get (run, sign) symbols; already-nonzero ones get
+    correction bits, buffered behind any pending EOB run."""
+    absv = [abs(int(vals[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    r = 0
+    br: list[int] = []          # this block's correction bits
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.emit_eobrun()
+            code, ln = st.ac[0xF0]
+            st.bw.write(code, ln)
+            r -= 16
+            for b in br:
+                st.bw.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        st.emit_eobrun()
+        code, ln = st.ac[(r << 4) | 1]
+        st.bw.write(code, ln)
+        st.bw.write(1 if int(vals[k]) >= 0 else 0, 1)
+        for b in br:
+            st.bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.be_bits.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: str = "420") -> bytes:
+    """Encode HxW uint8 grayscale or HxWx3 uint8 RGB as a PROGRESSIVE
+    JFIF JPEG (SOF2) with a full successive-approximation scan script:
+    interleaved DC at Al=1 + DC refinement, then per component AC
+    Ss=1..63 at Al=1 + AC refinement. The script lands every quantized
+    coefficient at full precision, so decoding reproduces the baseline
+    encoder's pixels exactly at equal quality."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        hsvs = [(1, 1)]
+        qts = [0]
+    else:
+        if subsample not in ("420", "444"):
+            raise ValueError(f"unsupported subsample {subsample!r}")
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        s = 2 if subsample == "420" else 1
+        hsvs = [(s, s), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qts = [0, 1, 1]
+    hmax = max(hs for hs, _ in hsvs)
+    vmax = max(vs for _, vs in hsvs)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qtabs = {0: _quant_table(quality), 1: _quant_table_c(quality)}
+    coefs = []
+    for pi, ((hs, vs), plane) in enumerate(zip(hsvs, planes)):
+        p = _pad_to(plane, mcuy * 8 * vmax, mcux * 8 * hmax)
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx
+                          ).mean((1, 3))
+        coefs.append(_fdct_quant_blocks(p, qtabs[qts[pi]]))
+
+    dc_tabs = [_canonical_codes(_DC_BITS, _DC_VALS),
+               _canonical_codes(_DC_BITS_C, _DC_VALS_C)]
+    ac_flat = _canonical_codes(_AC_BITS_P, _AC_VALS_P)
+    ncomp = len(planes)
+    dc_ids = [0] + [1] * (ncomp - 1)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, bytes([0])
+                + bytes(qtabs[0].flatten()[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xFFDB, bytes([1])
+                    + bytes(qtabs[1].flatten()[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hs, vs) in enumerate(hsvs):
+        sof += bytes([ci + 1, (hs << 4) | vs, qts[ci]])
+    out += _seg(0xFFC2, sof)
+    out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    if not gray:
+        out += _seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C)
+                    + bytes(_DC_VALS_C))
+    out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS_P)
+                + bytes(bytearray(_AC_VALS_P)))
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int,
+            ah: int, al: int, scan: bytes) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xFFDA, body) + scan
+
+    # scan 1: DC first, all components interleaved, Al=1
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(hsvs):
+                for v in range(vs):
+                    for hh in range(hs):
+                        dc = int(coefs[ci][my * vs + v, mx * hs + hh, 0]) >> 1
+                        size, bits = _magnitude(dc - pred[ci])
+                        code, ln = dc_tabs[dc_ids[ci]][size]
+                        bw.write(code, ln)
+                        if size:
+                            bw.write(bits, size)
+                        pred[ci] = dc
+    out += sos([(ci + 1, dc_ids[ci], 0) for ci in range(ncomp)],
+               0, 0, 0, 1, bw.flush())
+
+    # scan 2: DC refinement, Ah=1 -> Al=0 (raw bits, same block order)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(hsvs):
+                for v in range(vs):
+                    for hh in range(hs):
+                        bw.write(int(coefs[ci][my * vs + v,
+                                               mx * hs + hh, 0]) & 1, 1)
+    out += sos([(ci + 1, dc_ids[ci], 0) for ci in range(ncomp)],
+               0, 0, 1, 0, bw.flush())
+
+    # per component: AC first (Al=1) then AC refinement (Ah=1, Al=0)
+    for ci, (hs, vs) in enumerate(hsvs):
+        cbh, cbw = _comp_block_dims(h, w, hs, vs, hmax, vmax)
+        for first in (True, False):
+            bw = _BitWriter()
+            st = _ProgACState(bw, ac_flat)
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if first:
+                        _encode_ac_first(st, coefs[ci][by, bx], 1, 63, 1)
+                    else:
+                        _encode_ac_refine(st, coefs[ci][by, bx], 1, 63, 0)
+            st.emit_eobrun()
+            out += sos([(ci + 1, 0, 0)], 1, 63,
+                       0 if first else 1, 1 if first else 0, bw.flush())
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -14,10 +14,13 @@ operators/jpeg.py; tables parsed from the file, lossy round-trip with
 PSNR-bounded tests) and FLAC (RFC 9639 subset, operators/flac.py,
 lossless) are REAL codecs implemented here — the fixture generator
 emits genuine .bmp/.wav/.png/.jpg/.flac payloads, and the
-feature/resize paths decode them like any external tool would. Video
-ships as REAL YUV4MPEG2 (C420 luma) streams any ffmpeg reads. Formats
-still needing external libraries (progressive JPEG and compressed video
-codecs ONLY) go through `_decode_real`, which raises
+feature/resize paths decode them like any external tool would.
+Progressive (SOF2) JPEG decodes natively too since round 5. Video ships
+as REAL YUV4MPEG2 (C420 luma) streams and REAL MJPEG AVIs
+(operators/avi.py — RIFF container, per-frame baseline JPEG) any ffmpeg
+reads. Formats still needing external libraries (INTER-FRAME video
+codecs — H.264/VP9 in mp4/webm — ONLY) go through `_decode_real`,
+which raises
 NotImplementedError behind an import-try (PIL / soundfile are not in
 the sandbox image); the deterministic fake container covers those rows
 in tests. decode_media() sniffs the payload magic and dispatches —
@@ -303,9 +306,12 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     (i%48==21 -> 4:2:0, i%48==33 -> 4:4:4) and the fake container
     (i%48==45, keeping the _decode_fake image branch fixture-covered);
     audio rows rotate through REAL PCM16 WAVs (i odd), REAL FLAC
-    streams (i%12==4) and the fake container; half the video rows are
-    REAL YUV4MPEG2 streams (i%6==2); the rest use the self-describing
-    fake container (standing in for PIL-only formats)."""
+    streams (i%12==4) and the fake container; video rows are REAL
+    YUV4MPEG2 streams (i%6==2) or REAL MJPEG AVIs (i%12==5), with
+    i%12==11 on the self-describing fake container (standing in for
+    inter-frame codecs and keeping that branch fixture-covered); the
+    i%96==45 image row is a REAL PROGRESSIVE (SOF2) JPEG, i%96==93
+    keeps the fake-image branch covered."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -330,6 +336,12 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             payload = encode_jpeg_color(
                 rgb, quality=90,
                 subsample="420" if i % 48 == 21 else "444")
+        elif kind == "image" and i % 96 == 45:
+            from webalizer_spark.operators.jpeg import (
+                encode_jpeg_progressive,
+            )
+            payload = encode_jpeg_progressive(body.reshape(h, w),
+                                              quality=90)
         elif kind == "audio" and i % 2 == 1:
             payload = encode_wav_pcm16(
                 (body.astype(np.int16) - 128) * 256, sr)
@@ -341,6 +353,11 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             w2, h2 = max(w // 2 * 2, 8), max(h // 2 * 2, 8)
             payload = encode_y4m(
                 rng.integers(0, 256, (nf, h2, w2), dtype=np.uint8))
+        elif kind == "video" and i % 12 == 5:
+            from webalizer_spark.operators.avi import encode_avi_mjpeg
+            payload = encode_avi_mjpeg(
+                rng.integers(0, 256, (nf, h, w), dtype=np.uint8),
+                quality=90)
         else:
             payload = (_MAGIC + struct.pack("<IIII", w, h, sr, nf)
                        + body.tobytes())
@@ -362,9 +379,10 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     """External-library codec path — requires PIL/av, which the sandbox
-    image lacks. Only progressive JPEG and compressed video (mp4/webm)
-    still land here: BMP/PNG/baseline-JPEG (grayscale AND color) images,
-    WAV/FLAC audio and y4m video all decode natively above."""
+    image lacks. Only INTER-FRAME compressed video (H.264/VP9 in
+    mp4/webm — motion compensation) still lands here: BMP/PNG/JPEG
+    (baseline grayscale+color AND progressive) images, WAV/FLAC audio,
+    and y4m + MJPEG-AVI video all decode natively above."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -397,11 +415,12 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
     if payload[:2] == b"\xff\xd8":
         from webalizer_spark.operators.jpeg import decode_jpeg
         try:
-            # baseline grayscale AND 3-component YCbCr (444/422/420)
-            # decode natively since round 5
+            # baseline grayscale, 3-component YCbCr (444/422/420) AND
+            # progressive (SOF2) all decode natively since round 5
             return decode_jpeg(payload)
         except ValueError:
-            # progressive/corrupt JPEG: fall through to the
+            # genuinely corrupt / exotic JPEG (arithmetic coding,
+            # restart markers, 12-bit): fall through to the
             # external-library path (PIL decodes it on a real cluster;
             # in-sandbox it raises and the row routes as corrupt)
             arr = _decode_real(payload, kind)
@@ -409,6 +428,9 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF":
+        if payload[8:12] == b"AVI ":
+            from webalizer_spark.operators.avi import decode_avi_mjpeg
+            return decode_avi_mjpeg(payload)
         samples, _sr = decode_wav(payload)
         return samples, (len(samples),)
     if payload[:4] == b"fLaC":
