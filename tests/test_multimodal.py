@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pytest
 
@@ -204,6 +206,56 @@ def test_jpeg_progressive_equals_baseline():
     first_sos = enc.find(b"\xff\xda")
     with pytest.raises(ValueError):
         decode_jpeg(enc[:first_sos + 16])
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn restart markers — near-universal in camera/libjpeg
+    streams — decode bit-exactly on every path: the segmented stream
+    must reproduce the unsegmented decode (baseline gray/color) and the
+    baseline pixels (progressive, whose scans flush EOB runs at each
+    restart), at intervals from every-MCU to one-restart-total."""
+    from webalizer_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (33, 65), dtype=np.uint8)
+    base, _ = decode_jpeg(encode_jpeg_gray(img, 50))
+    for ri in (1, 2, 7, 100):
+        enc = encode_jpeg_gray(img, 50, restart_interval=ri)
+        assert b"\xff\xdd" in enc       # DRI present
+        r, shape = decode_jpeg(enc)
+        assert shape == (33, 65)
+        assert np.array_equal(base, r), ri
+        p, _ = decode_jpeg(encode_jpeg_progressive(img, 50,
+                                                   restart_interval=ri))
+        assert np.array_equal(base, p), ri
+    rgb = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    for ss in ("444", "420"):
+        cbase, _ = decode_jpeg(encode_jpeg_color(rgb, 50, ss))
+        for ri in (1, 3):
+            c, _ = decode_jpeg(encode_jpeg_color(rgb, 50, ss,
+                                                 restart_interval=ri))
+            assert np.array_equal(cbase, c), (ss, ri)
+            cp, _ = decode_jpeg(encode_jpeg_progressive(
+                rgb, 50, ss, restart_interval=ri))
+            assert np.array_equal(cbase, cp), (ss, ri)
+    # long EOB runs forced to split across restart boundaries
+    flat = np.full((64, 64), 128, dtype=np.uint8)
+    flat[0, 0], flat[63, 63] = 255, 0
+    fb, _ = decode_jpeg(encode_jpeg_gray(flat, 50))
+    for ri in (1, 3, 63):
+        fp, _ = decode_jpeg(encode_jpeg_progressive(flat, 50,
+                                                    restart_interval=ri))
+        assert np.array_equal(fb, fp), ri
+    # a restart-expecting stream whose markers were stripped is refused
+    enc = bytearray(encode_jpeg_gray(img, 50, restart_interval=2))
+    stripped = re.sub(b"\xff[\xd0-\xd7]", b"", bytes(enc))
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(stripped)
 
 
 def test_jpeg_color_round_trip_psnr():

@@ -19,9 +19,16 @@ landed the decoder holds the same quantized coefficients a baseline
 stream would carry, so progressive decode equals baseline decode
 bit-for-bit at the same quality (tests assert exactly that).
 
+Restart intervals (DRI + RSTn) are supported on BOTH paths, baseline
+and progressive, encode and decode: the encoder byte-aligns and emits
+RSTm every `restart_interval` MCUs (flushing pending progressive EOB
+runs first), the decoder splits the entropy stream on the markers and
+resets DC predictors / EOB runs — so camera/libjpeg streams, which
+almost always carry DRI, decode here.
+
 Out of scope (raise ValueError, routed as corrupt/unsupported by
-decode_media): arithmetic coding, restart markers, >2x sampling
-factors, 12-bit precision, hierarchical (SOF3/5..15).
+decode_media): arithmetic coding, >2x sampling factors, 12-bit
+precision, hierarchical (SOF3/5..15).
 
 JPEG is lossy: round-trip tests assert PSNR-style bounds, not equality
 (unlike the exact BMP/PNG/WAV codecs).
@@ -29,6 +36,7 @@ JPEG is lossy: round-trip tests assert PSNR-style bounds, not equality
 
 from __future__ import annotations
 
+import re
 import struct
 
 import numpy as np
@@ -285,8 +293,41 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg_gray(gray: np.ndarray, quality: int = 90) -> bytes:
-    """Encode a HxW uint8 grayscale array as a baseline JFIF JPEG."""
+class _SegmentedWriter:
+    """Wraps _BitWriter with restart-interval segmentation [T.81 B.2.1.2
+    DRI / E.1.4]: every `ri` MCUs the entropy stream is byte-aligned
+    (1-padded), an RSTm marker (m cycling 0..7) is emitted, and the
+    caller's DC predictors must reset. ri=0 degenerates to one
+    unsegmented scan."""
+
+    def __init__(self, ri: int) -> None:
+        self.ri = ri
+        self.bw = _BitWriter()
+        self.parts: list[bytes] = []
+        self.mcu = 0
+
+    def next_mcu(self) -> bool:
+        """Call before encoding each MCU; True => reset DC predictors."""
+        if self.ri and self.mcu and self.mcu % self.ri == 0:
+            m = len(self.parts) % 8
+            self.parts.append(self.bw.flush()
+                              + bytes([0xFF, 0xD0 + m]))
+            self.bw = _BitWriter()
+            self.mcu += 1
+            return True
+        self.mcu += 1
+        return False
+
+    def flush(self) -> bytes:
+        self.parts.append(self.bw.flush())
+        return b"".join(self.parts)
+
+
+def encode_jpeg_gray(gray: np.ndarray, quality: int = 90,
+                     restart_interval: int = 0) -> bytes:
+    """Encode a HxW uint8 grayscale array as a baseline JFIF JPEG.
+    restart_interval > 0 emits a DRI segment plus RSTn markers every
+    that many MCUs (blocks), like most camera/libjpeg streams."""
     h, w = gray.shape
     q = _quant_table(quality)
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
@@ -296,13 +337,15 @@ def encode_jpeg_gray(gray: np.ndarray, quality: int = 90) -> bytes:
     pw = (w + 7) // 8 * 8
     img = _pad_to(gray.astype(np.float64), ph, pw) - 128.0
 
-    bw = _BitWriter()
+    sw = _SegmentedWriter(restart_interval)
     prev_dc = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            prev_dc = _encode_block(bw, img[by:by + 8, bx:bx + 8], q,
+            if sw.next_mcu():
+                prev_dc = 0
+            prev_dc = _encode_block(sw.bw, img[by:by + 8, bx:bx + 8], q,
                                     dc_codes, ac_codes, prev_dc)
-    scan = bw.flush()
+    scan = sw.flush()
 
     out = bytearray(b"\xff\xd8")                                   # SOI
     out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -310,6 +353,8 @@ def encode_jpeg_gray(gray: np.ndarray, quality: int = 90) -> bytes:
     out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += scan
     out += b"\xff\xd9"                                             # EOI
@@ -317,10 +362,12 @@ def encode_jpeg_gray(gray: np.ndarray, quality: int = 90) -> bytes:
 
 
 def encode_jpeg_color(rgb: np.ndarray, quality: int = 90,
-                      subsample: str = "420") -> bytes:
+                      subsample: str = "420",
+                      restart_interval: int = 0) -> bytes:
     """Encode a HxWx3 uint8 RGB array as a baseline JFIF YCbCr JPEG with
     4:2:0 (default) or 4:4:4 chroma, MCU-interleaved scan [T.81 B.2.3;
-    JFIF 1.02 color transform]."""
+    JFIF 1.02 color transform]. restart_interval > 0 emits DRI + RSTn
+    every that many interleaved MCUs."""
     if subsample not in ("420", "444"):
         raise ValueError(f"unsupported subsample {subsample!r}")
     h, w, nc = rgb.shape
@@ -352,21 +399,23 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 90,
     dc_c = _canonical_codes(_DC_BITS_C, _DC_VALS_C)
     ac_c = _canonical_codes(_AC_BITS_C, _AC_VALS_C)
 
-    bw = _BitWriter()
+    sw = _SegmentedWriter(restart_interval)
     pdc = [0, 0, 0]
     for my in range(mcuy):
         for mx in range(mcux):
+            if sw.next_mcu():
+                pdc = [0, 0, 0]
             for v in range(vs):                       # Y blocks, raster
                 for hh in range(hs):
                     by = (my * vs + v) * 8
                     bx = (mx * hs + hh) * 8
-                    pdc[0] = _encode_block(bw, y[by:by + 8, bx:bx + 8],
+                    pdc[0] = _encode_block(sw.bw, y[by:by + 8, bx:bx + 8],
                                            qy, dc_y, ac_y, pdc[0])
             for ci, plane in ((1, cb), (2, cr)):      # one chroma block
                 by, bx = my * 8, mx * 8
-                pdc[ci] = _encode_block(bw, plane[by:by + 8, bx:bx + 8],
+                pdc[ci] = _encode_block(sw.bw, plane[by:by + 8, bx:bx + 8],
                                         qc, dc_c, ac_c, pdc[ci])
-    scan = bw.flush()
+    scan = sw.flush()
 
     samp = (hs << 4) | vs
     out = bytearray(b"\xff\xd8")                                   # SOI
@@ -379,6 +428,8 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 90,
     out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
     out += _seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
     out += _seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += scan
     out += b"\xff\xd9"                                             # EOI
@@ -388,6 +439,34 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 90,
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
+
+
+class _SegmentedReader:
+    """Decoder twin of _SegmentedWriter: splits entropy data on RSTn
+    markers (in entropy data a 0xFF is always stuffed with 0x00, so a
+    bare FF D0..D7 can only BE a restart marker) and swaps in a fresh
+    _BitReader — discarding the previous segment's alignment padding —
+    every `ri` MCUs. next_mcu() returning True tells the caller to reset
+    its DC predictors [T.81 E.1.4]."""
+
+    def __init__(self, scan: bytes, ri: int) -> None:
+        self.segments = (re.split(b"\xff[\xd0-\xd7]", scan)
+                         if ri else [scan])
+        self.ri = ri
+        self.idx = 0
+        self.mcu = 0
+        self.rd = _BitReader(self.segments[0])
+
+    def next_mcu(self) -> bool:
+        if self.ri and self.mcu and self.mcu % self.ri == 0:
+            self.idx += 1
+            if self.idx >= len(self.segments):
+                raise ValueError("JPEG missing restart marker")
+            self.rd = _BitReader(self.segments[self.idx])
+            self.mcu += 1
+            return True
+        self.mcu += 1
+        return False
 
 
 def _decode_sym(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -431,9 +510,10 @@ def _decode_block(rd: _BitReader, dct: dict, act: dict, q: np.ndarray,
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
     """Decode a baseline JPEG: grayscale -> (HxW uint8, (h, w)); YCbCr
     color -> (HxWx3 uint8 RGB, (h, w, 3)), handling 4:4:4 / 4:2:0 /
-    4:2:2 chroma via replicate upsample. Tables come from the file's own
-    DQT/DHT segments. Raises ValueError on non-baseline (progressive,
-    arithmetic), restart-interval, or corrupt streams."""
+    4:2:2 chroma via replicate upsample and DRI/RSTn restart intervals.
+    Tables come from the file's own DQT/DHT segments. Raises ValueError
+    on non-baseline-or-progressive (arithmetic, hierarchical, 12-bit) or
+    corrupt streams."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -444,6 +524,7 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
     scan_map: dict[int, tuple[int, int]] = {}     # cid -> (dc_id, ac_id)
     scan_order: list[int] = []
     scan = None
+    ri = 0                                        # DRI restart interval
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker sync")
@@ -518,7 +599,9 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
             scan = payload[scan_start:end if end > 0 else len(payload)]
             break
         elif marker == 0xFFDD:
-            raise ValueError("unsupported JPEG (restart intervals)")
+            if ln < 4:
+                raise ValueError("JPEG truncated DRI segment")
+            ri = struct.unpack_from(">H", body, 0)[0]
         pos += 2 + ln
     if scan is None or h is None:
         raise ValueError("JPEG missing SOF/SOS")
@@ -531,7 +614,7 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                 or (1, ac_id) not in huff:
             raise ValueError("JPEG missing tables")
 
-    rd = _BitReader(scan)
+    sr = _SegmentedReader(scan, ri)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if len(comps) == 1:
@@ -546,8 +629,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
         prev_dc = 0
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
+                if sr.next_mcu():
+                    prev_dc = 0
                 img[by:by + 8, bx:bx + 8], prev_dc = _decode_block(
-                    rd, dct, act, q, prev_dc)
+                    sr.rd, dct, act, q, prev_dc)
         out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(out[:h, :w]), (int(h), int(w))
 
@@ -560,6 +645,8 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
     pdc = [0] * len(comps)
     for my in range(mcuy):
         for mx in range(mcux):
+            if sr.next_mcu():
+                pdc = [0] * len(comps)
             for ci, (cid, hs, vs, tq) in enumerate(comps):
                 dc_id, ac_id = scan_map[cid]
                 dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
@@ -568,7 +655,8 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                     for hh in range(hs):
                         by = (my * vs + v) * 8
                         bx = (mx * hs + hh) * 8
-                        blk, pdc[ci] = _decode_block(rd, dct, act, q, pdc[ci])
+                        blk, pdc[ci] = _decode_block(
+                            sr.rd, dct, act, q, pdc[ci])
                         planes[ci][by:by + 8, bx:bx + 8] = blk
 
     full = []
@@ -628,7 +716,7 @@ def _entropy_end(payload: bytes, start: int) -> int:
         elif nxt == 0xFF:
             i += 1
         elif 0xD0 <= nxt <= 0xD7:
-            raise ValueError("unsupported JPEG (restart intervals)")
+            i += 2                   # restart marker: internal to the scan
         else:
             return i
 
@@ -655,6 +743,7 @@ def _decode_progressive(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
     coefs: list[np.ndarray] = []                  # per comp [by][bx][64] zigzag
     hmax = vmax = 1
     mcux = mcuy = 0
+    ri = 0                                        # DRI restart interval
     pos = 2
     n = len(payload)
     while pos + 2 <= n:
@@ -716,7 +805,10 @@ def _decode_progressive(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("unsupported JPEG (mixed frame types)")
         elif marker == 0xFFDD:
-            raise ValueError("unsupported JPEG (restart intervals)")
+            if ln < 4:
+                raise ValueError("JPEG truncated DRI segment")
+            # DRI may change between scans; applies to scans after it
+            ri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:
             if h is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -734,8 +826,9 @@ def _decode_progressive(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
             scan_start = pos + 2 + ln
             end = _entropy_end(payload, scan_start)
             _decode_prog_scan(
-                _BitReader(payload[scan_start:end]), huff, comps, coefs,
-                scan_comps, ss, se, ah, al, h, w, hmax, vmax, mcux, mcuy)
+                _SegmentedReader(payload[scan_start:end], ri), huff,
+                comps, coefs, scan_comps, ss, se, ah, al, h, w, hmax,
+                vmax, mcux, mcuy)
             pos = end
             continue
         pos += 2 + ln
@@ -773,16 +866,20 @@ def _decode_progressive(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
     return np.ascontiguousarray(out), (int(h), int(w), 3)
 
 
-def _decode_prog_scan(rd: _BitReader, huff: dict, comps: list,
+def _decode_prog_scan(sr: _SegmentedReader, huff: dict, comps: list,
                       coefs: list, scan_comps: list, ss: int, se: int,
                       ah: int, al: int, h: int, w: int, hmax: int,
                       vmax: int, mcux: int, mcuy: int) -> None:
-    """Decode one progressive scan into the coefficient grids."""
+    """Decode one progressive scan into the coefficient grids. Restart
+    markers (sr with ri > 0) reset the DC predictors and the pending EOB
+    run at MCU boundaries [T.81 E.1.4 / G.1.1] — an MCU is one
+    interleaved MCU in a multi-component DC scan, one block otherwise."""
     if ss == 0:
         if se != 0:
             raise ValueError("JPEG progressive DC scan with Se != 0")
         # DC scan: interleaved MCU order when ns > 1, else the single
-        # component's own (non-padded) block raster
+        # component's own (non-padded) block raster. Group blocks by
+        # MCU so restart boundaries land between MCUs, not blocks.
         tables = []
         for ci, dc_id, _ac_id in scan_comps:
             if ah == 0 and (0, dc_id) not in huff:
@@ -790,30 +887,35 @@ def _decode_prog_scan(rd: _BitReader, huff: dict, comps: list,
             tables.append(huff.get((0, dc_id)))
         pred = [0] * len(scan_comps)
         if len(scan_comps) > 1:
-            order = []
+            mcus = []
             for my in range(mcuy):
                 for mx in range(mcux):
+                    mcu = []
                     for si, (ci, _d, _a) in enumerate(scan_comps):
                         _cid, hs, vs, _tq = comps[ci]
                         for v in range(vs):
                             for hh in range(hs):
-                                order.append((si, ci,
-                                              my * vs + v, mx * hs + hh))
+                                mcu.append((si, ci,
+                                            my * vs + v, mx * hs + hh))
+                    mcus.append(mcu)
         else:
             si, (ci, _d, _a) = 0, scan_comps[0]
             _cid, hs, vs, _tq = comps[ci]
             cbh, cbw = _comp_block_dims(h, w, hs, vs, hmax, vmax)
-            order = [(si, ci, by, bx)
-                     for by in range(cbh) for bx in range(cbw)]
-        for si, ci, by, bx in order:
-            blk = coefs[ci][by, bx]
-            if ah == 0:
-                size = _decode_sym(rd, tables[si])
-                pred[si] += _extend(rd.read_bits(size), size)
-                blk[0] = pred[si] << al
-            else:
-                if rd.read_bit():
-                    blk[0] |= 1 << al
+            mcus = [[(si, ci, by, bx)]
+                    for by in range(cbh) for bx in range(cbw)]
+        for mcu in mcus:
+            if sr.next_mcu():
+                pred = [0] * len(scan_comps)
+            for si, ci, by, bx in mcu:
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    size = _decode_sym(sr.rd, tables[si])
+                    pred[si] += _extend(sr.rd.read_bits(size), size)
+                    blk[0] = pred[si] << al
+                else:
+                    if sr.rd.read_bit():
+                        blk[0] |= 1 << al
         return
 
     # AC scan: exactly one component [T.81 G.1.1.1.1]
@@ -829,7 +931,10 @@ def _decode_prog_scan(rd: _BitReader, huff: dict, comps: list,
     p1, m1 = 1 << al, -1 << al
     for by in range(cbh):
         for bx in range(cbw):
+            if sr.next_mcu():
+                eobrun = 0           # EOB runs never cross a restart
             blk = coefs[ci][by, bx]
+            rd = sr.rd
             if ah == 0:                          # first pass [G.1.2.2]
                 if eobrun > 0:
                     eobrun -= 1
@@ -1007,13 +1112,16 @@ def _encode_ac_refine(st: _ProgACState, vals: np.ndarray, ss: int, se: int,
 
 
 def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
-                            subsample: str = "420") -> bytes:
+                            subsample: str = "420",
+                            restart_interval: int = 0) -> bytes:
     """Encode HxW uint8 grayscale or HxWx3 uint8 RGB as a PROGRESSIVE
     JFIF JPEG (SOF2) with a full successive-approximation scan script:
     interleaved DC at Al=1 + DC refinement, then per component AC
     Ss=1..63 at Al=1 + AC refinement. The script lands every quantized
     coefficient at full precision, so decoding reproduces the baseline
-    encoder's pixels exactly at equal quality."""
+    encoder's pixels exactly at equal quality. restart_interval > 0
+    emits DRI + RSTn in every scan (pending EOB runs are flushed before
+    each restart, per G.1.1 — runs never cross a marker)."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -1070,6 +1178,8 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
                     + bytes(_DC_VALS_C))
     out += _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS_P)
                 + bytes(bytearray(_AC_VALS_P)))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
 
     def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int,
             ah: int, al: int, scan: bytes) -> bytes:
@@ -1080,50 +1190,59 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
         return _seg(0xFFDA, body) + scan
 
     # scan 1: DC first, all components interleaved, Al=1
-    bw = _BitWriter()
+    sw = _SegmentedWriter(restart_interval)
     pred = [0] * ncomp
     for my in range(mcuy):
         for mx in range(mcux):
+            if sw.next_mcu():
+                pred = [0] * ncomp
             for ci, (hs, vs) in enumerate(hsvs):
                 for v in range(vs):
                     for hh in range(hs):
                         dc = int(coefs[ci][my * vs + v, mx * hs + hh, 0]) >> 1
                         size, bits = _magnitude(dc - pred[ci])
                         code, ln = dc_tabs[dc_ids[ci]][size]
-                        bw.write(code, ln)
+                        sw.bw.write(code, ln)
                         if size:
-                            bw.write(bits, size)
+                            sw.bw.write(bits, size)
                         pred[ci] = dc
     out += sos([(ci + 1, dc_ids[ci], 0) for ci in range(ncomp)],
-               0, 0, 0, 1, bw.flush())
+               0, 0, 0, 1, sw.flush())
 
     # scan 2: DC refinement, Ah=1 -> Al=0 (raw bits, same block order)
-    bw = _BitWriter()
+    sw = _SegmentedWriter(restart_interval)
     for my in range(mcuy):
         for mx in range(mcux):
+            sw.next_mcu()            # nothing to reset, still segments
             for ci, (hs, vs) in enumerate(hsvs):
                 for v in range(vs):
                     for hh in range(hs):
-                        bw.write(int(coefs[ci][my * vs + v,
-                                               mx * hs + hh, 0]) & 1, 1)
+                        sw.bw.write(int(coefs[ci][my * vs + v,
+                                                  mx * hs + hh, 0]) & 1, 1)
     out += sos([(ci + 1, dc_ids[ci], 0) for ci in range(ncomp)],
-               0, 0, 1, 0, bw.flush())
+               0, 0, 1, 0, sw.flush())
 
     # per component: AC first (Al=1) then AC refinement (Ah=1, Al=0)
     for ci, (hs, vs) in enumerate(hsvs):
         cbh, cbw = _comp_block_dims(h, w, hs, vs, hmax, vmax)
         for first in (True, False):
-            bw = _BitWriter()
-            st = _ProgACState(bw, ac_flat)
+            sw = _SegmentedWriter(restart_interval)
+            st = _ProgACState(sw.bw, ac_flat)
             for by in range(cbh):
                 for bx in range(cbw):
+                    # a pending EOB run may not cross the restart: emit
+                    # it into the OLD segment before the marker
+                    if sw.ri and sw.mcu and sw.mcu % sw.ri == 0:
+                        st.emit_eobrun()
+                    if sw.next_mcu():
+                        st.bw = sw.bw
                     if first:
                         _encode_ac_first(st, coefs[ci][by, bx], 1, 63, 1)
                     else:
                         _encode_ac_refine(st, coefs[ci][by, bx], 1, 63, 0)
             st.emit_eobrun()
             out += sos([(ci + 1, 0, 0)], 1, 63,
-                       0 if first else 1, 1 if first else 0, bw.flush())
+                       0 if first else 1, 1 if first else 0, sw.flush())
 
     out += b"\xff\xd9"
     return bytes(out)

@@ -335,7 +335,10 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             payload = encode_jpeg_color(
                 rgb, quality=90,
-                subsample="420" if i % 48 == 21 else "444")
+                subsample="420" if i % 48 == 21 else "444",
+                # half the 4:2:0 rows carry DRI/RSTn restart markers,
+                # like real camera streams
+                restart_interval=2 if i % 96 == 21 else 0)
         elif kind == "image" and i % 96 == 45:
             from webalizer_spark.operators.jpeg import (
                 encode_jpeg_progressive,
