@@ -1512,6 +1512,78 @@ def doc_redact(spark, sf):
             .select("doc_id", redact(text).alias("redacted")))
 
 
+@qu("doc_repetition", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams
+  FROM t
+), c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+  GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total,
+         COUNT(*) AS distinct_n, MAX(cnt) AS top
+  FROM c GROUP BY 1
+)
+SELECT g.doc_id AS doc_id, g.ntok AS ntok,
+       COALESCE(agg.total, 0) AS ngrams,
+       ROUND(COALESCE(1.0 - CAST(agg.distinct_n AS DOUBLE) / agg.total,
+                      0.0), 6) AS dup_ngram_frac,
+       ROUND(COALESCE(CAST(agg.top AS DOUBLE) / agg.total, 0.0), 6)
+         AS top_ngram_frac
+FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id
+""")
+def doc_repetition(spark, sf):
+    """Gopher-style intra-document repetition metrics (ungraded; the
+    50-row graded window is full): quality.ngram_repetition's
+    ZERO-SHUFFLE per-row formulation (transform/array_distinct/sorted
+    run-length aggregate) vs DuckDB independently re-deriving the same
+    bigram statistics the classical way (unnest -> group -> max/count).
+    Same numbers from two opposite physical plans is the point."""
+    from webalizer_spark.operators.quality import ngram_repetition
+
+    r = ngram_repetition(_t(spark, sf, "documents"), n=2)
+    return r.select("doc_id", F.col("ntok").cast("bigint").alias("ntok"),
+                    F.col("ngrams").cast("bigint").alias("ngrams"),
+                    "dup_ngram_frac", "top_ngram_frac")
+
+
+@qu("doc_decontam", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bench AS (
+  SELECT DISTINCT array_to_string(list_slice(toks, 1, 8), ' ') AS snip
+  FROM t WHERE doc_id % 17 = 3 AND len(toks) >= 8
+), grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+      i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS gram
+  FROM t WHERE len(toks) >= 8
+)
+SELECT DISTINCT g.doc_id AS doc_id
+FROM grams g JOIN bench b ON g.gram = b.snip
+""")
+def doc_decontam(spark, sf):
+    """Benchmark decontamination (ungraded): every doc sharing an
+    8-token span with a synthesized eval set (the first 8 tokens of
+    each doc_id % 17 == 3 document, standing in for benchmark prompts).
+    quality.contaminated_ids joins broadcast md5 gram KEYS; the oracle
+    joins the gram TEXT — agreement rules out both key-hash and
+    extraction-window slips. Each benchmark source doc must flag itself
+    (its own prefix is the snippet), so the result is never vacuous."""
+    from webalizer_spark.operators.quality import contaminated_ids
+
+    docs = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    bench = (docs.filter(F.col("doc_id") % 17 == 3)
+             .filter(F.size(toks) >= 8)
+             .select(F.concat_ws(" ", F.slice(toks, 1, 8)).alias("text")))
+    return contaminated_ids(docs, bench, n=8)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation. The driver's CORRECTNESS artifact covers the
 # first 50 registered queries (round-2 verdict: the 11 newest were invisible
