@@ -501,3 +501,104 @@ def test_flac_property_round_trip():
         assert got_sr == sr and np.array_equal(dec, s.astype(np.int64))
 
     prop()
+
+
+def test_gif_codec_round_trip():
+    """GIF is a REAL codec (variable-width LZW, pure numpy/stdlib) and
+    LOSSLESS for palettized content: byte-exact round-trips for
+    grayscale, paletted RGB, animated and interlaced encodings;
+    out-of-gamut input and corrupt streams refuse."""
+    from webalizer_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (23, 37), dtype=np.uint8)
+    frames, shape = decode_gif(encode_gif(g))
+    assert shape == (1, 23, 37, 3)
+    assert (frames[0] == g[..., None]).all()          # 256-gray palette
+
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, (19, 29))].astype(np.uint8)
+    frames, _ = decode_gif(encode_gif(img))
+    assert (frames[0] == img).all()
+
+    frames, _ = decode_gif(encode_gif(img, interlace=True))
+    assert (frames[0] == img).all()
+
+    anim = pal[rng.integers(0, 16, (6, 11, 13))].astype(np.uint8)
+    frames, shape = decode_gif(encode_gif(anim, delays_cs=[5] * 6))
+    assert shape == (6, 11, 13, 3) and (frames == anim).all()
+
+    # LZW dictionary growth + CLEAR reset on long runs
+    run = np.repeat(np.arange(8, dtype=np.uint8), 900).reshape(72, 100)
+    frames, _ = decode_gif(encode_gif(run))
+    assert (frames[0][..., 0] == run).all()
+
+    big = np.arange(300, dtype=np.uint16)
+    rgb300 = np.stack([big % 256, big // 256, big * 0],
+                      axis=1).astype(np.uint8).reshape(30, 10, 3)
+    with pytest.raises(ValueError, match="distinct colors"):
+        encode_gif(rgb300)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"GIF90a" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        decode_gif(encode_gif(g)[:15])
+
+
+def test_gif_transparency_and_disposal():
+    """Decoder honors the 89a graphic-control model produced by OTHER
+    tools: transparent indices pass the prior screen through, and a
+    sub-rectangle frame composites at its (left, top) offset."""
+    import struct
+
+    from webalizer_spark.operators.gif import decode_gif, encode_gif
+
+    base = np.full((8, 8), 3, dtype=np.uint8)
+    payload = bytearray(encode_gif(base[None, ...].repeat(2, axis=0)
+                                   .astype(np.uint8)[..., None]
+                                   .repeat(3, axis=-1),
+                                   transparent_index=7))
+    frames, shape = decode_gif(bytes(payload))
+    assert shape[0] == 2
+
+    # hand-build a 2-frame GIF whose 2nd frame is a 2x2 patch at (3, 1)
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    pal[1] = (255, 0, 0)
+    pal[2] = (0, 255, 0)
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0) \
+        + pal.tobytes()
+    from webalizer_spark.operators.gif import _lzw_encode, _sub_blocks
+    f1 = np.full((4, 4), 1, dtype=np.uint8)
+    img1 = b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0) + bytes([2]) \
+        + _sub_blocks(_lzw_encode(f1.ravel(), 2))
+    f2 = np.full((2, 2), 2, dtype=np.uint8)
+    gce = b"\x21\xf9\x04\x04\x00\x00\x00\x00"      # disposal 1, no transp
+    img2 = b"\x2c" + struct.pack("<HHHHB", 3, 1, 1, 2, 0) + bytes([2]) \
+        + _sub_blocks(_lzw_encode(f2[:, :1].ravel(), 2))
+    frames, shape = decode_gif(hdr + img1 + gce + img2 + b"\x3b")
+    assert shape == (2, 4, 4, 3)
+    assert (frames[0] == (255, 0, 0)).all()
+    assert tuple(frames[1][1, 3]) == (0, 255, 0)   # patched cell
+    assert tuple(frames[1][0, 0]) == (255, 0, 0)   # rest kept (disposal 1)
+
+
+def test_fixture_contains_real_gif(spark, media):
+    """The fixture ships genuine static AND animated GIF payloads; the
+    Spark decode path (extract_features / sample_frames) handles both,
+    and the animated frame count matches the n_frames metadata."""
+    from webalizer_spark.operators.gif import decode_gif
+
+    rows = media.select("media_id", "kind", "payload", "n_frames").collect()
+    gifs = [r for r in rows if bytes(r["payload"][:3]) == b"GIF"]
+    img_gifs = [r for r in gifs if r["kind"] == "image"]
+    vid_gifs = [r for r in gifs if r["kind"] == "video"]
+    assert img_gifs and vid_gifs
+    feats = extract_features(media).toPandas()
+    for r in img_gifs + vid_gifs:
+        frames, shape = decode_gif(bytes(r["payload"]))
+        got = feats[feats["media_id"] == r["media_id"]].iloc[0]
+        assert bool(got["ok"])
+        if r["kind"] == "video":
+            assert shape[0] == r["n_frames"]
+            assert got["decoded_shape"] == "x".join(map(str, shape))
+        else:
+            assert got["decoded_shape"] == "x".join(map(str, shape[1:]))

@@ -303,15 +303,16 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     """Deterministic media fixture. Image rows rotate through REAL
     24-bit BMPs (i%6==0), REAL Paeth-filtered PNGs (i%12==3), REAL
     baseline grayscale JPEGs (i%48==9), REAL color YCbCr JPEGs
-    (i%48==21 -> 4:2:0, i%48==33 -> 4:4:4) and the fake container
-    (i%48==45, keeping the _decode_fake image branch fixture-covered);
-    audio rows rotate through REAL PCM16 WAVs (i odd), REAL FLAC
-    streams (i%12==4) and the fake container; video rows are REAL
-    YUV4MPEG2 streams (i%6==2) or REAL MJPEG AVIs (i%12==5), with
-    i%12==11 on the self-describing fake container (standing in for
-    inter-frame codecs and keeping that branch fixture-covered); the
-    i%96==45 image row is a REAL PROGRESSIVE (SOF2) JPEG, i%96==93
-    keeps the fake-image branch covered."""
+    (i%48==21 -> 4:2:0, i%48==33 -> 4:4:4), REAL grayscale-palette
+    GIFs (i%24==6) and the fake container (i%48==45, keeping the
+    _decode_fake image branch fixture-covered); audio rows rotate
+    through REAL PCM16 WAVs (i odd), REAL FLAC streams (i%12==4) and
+    the fake container; video rows are REAL YUV4MPEG2 streams
+    (i%6==2), REAL MJPEG AVIs (i%12==5) or REAL ANIMATED GIFs
+    (i%24==11), with i%24==23 on the self-describing fake container
+    (standing in for inter-frame codecs and keeping that branch
+    fixture-covered); the i%96==45 image row is a REAL PROGRESSIVE
+    (SOF2) JPEG, i%96==93 keeps the fake-image branch covered."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -323,7 +324,10 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
         nf = int(rng.integers(4, 32)) if kind == "video" else 1
         body_len = w * h if kind == "image" else (nf * 64 if kind == "video" else 1024)
         body = rng.integers(0, 256, body_len, dtype=np.uint8)
-        if kind == "image" and i % 2 == 0:
+        if kind == "image" and i % 24 == 6:
+            from webalizer_spark.operators.gif import encode_gif
+            payload = encode_gif(body.reshape(h, w))
+        elif kind == "image" and i % 2 == 0:
             payload = encode_bmp24(body.reshape(h, w))
         elif kind == "image" and i % 12 == 3:
             payload = encode_png(body.reshape(h, w))
@@ -361,6 +365,11 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             payload = encode_avi_mjpeg(
                 rng.integers(0, 256, (nf, h, w), dtype=np.uint8),
                 quality=90)
+        elif kind == "video" and i % 24 == 11:
+            from webalizer_spark.operators.gif import encode_gif
+            pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+            payload = encode_gif(
+                pal[rng.integers(0, 16, (nf, h, w))].astype(np.uint8))
         else:
             payload = (_MAGIC + struct.pack("<IIII", w, h, sr, nf)
                        + body.tobytes())
@@ -384,8 +393,9 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     """External-library codec path — requires PIL/av, which the sandbox
     image lacks. Only INTER-FRAME compressed video (H.264/VP9 in
     mp4/webm — motion compensation) still lands here: BMP/PNG/JPEG
-    (baseline grayscale+color AND progressive) images, WAV/FLAC audio,
-    and y4m + MJPEG-AVI video all decode natively above."""
+    (baseline grayscale+color AND progressive) + GIF images, WAV/FLAC
+    audio, and y4m + MJPEG-AVI + animated-GIF video all decode
+    natively above."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -423,11 +433,18 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
             return decode_jpeg(payload)
         except ValueError:
             # genuinely corrupt / exotic JPEG (arithmetic coding,
-            # restart markers, 12-bit): fall through to the
+            # 12-bit, hierarchical): fall through to the
             # external-library path (PIL decodes it on a real cluster;
             # in-sandbox it raises and the row routes as corrupt)
             arr = _decode_real(payload, kind)
             return arr, tuple(arr.shape)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from webalizer_spark.operators.gif import decode_gif
+        frames, shape = decode_gif(payload)
+        if shape[0] == 1 and kind == "image":
+            img = np.ascontiguousarray(frames[0])
+            return img, tuple(img.shape)
+        return frames, shape
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF":
