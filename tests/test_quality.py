@@ -87,3 +87,95 @@ def test_decontaminate_joins_are_broadcast(spark):
            docs.filter((F.col("doc_id") % 17 == 3)
                        & (F.size(toks) >= 8)).collect()}
     assert src and src <= bad
+
+
+def test_dedup_spans_semantics(spark):
+    """C4-style span dedup on hand-built docs: the FIRST occurrence
+    (by doc_id, span_idx) survives, later copies vanish — within a doc
+    and across docs — the <n tail always survives, and docs shorter
+    than n pass through untouched."""
+    from webalizer_spark.operators.quality import (
+        dedup_spans,
+        duplicate_spans,
+    )
+
+    df = _docs(spark, [
+        # doc 1: span "a b" repeated twice + tail "t"
+        (1, "a b a b t"),
+        # doc 2: copies doc 1's span -> removed here, kept there
+        (2, "a b z z"),
+        # doc 3: unique spans only
+        (3, "p q r s"),
+        # doc 4: shorter than n
+        (4, "x"),
+    ])
+    rm = {(r["doc_id"], r["span_idx"])
+          for r in duplicate_spans(df, n=2).collect()}
+    assert rm == {(1, 1), (2, 0)}
+    out = {r["doc_id"]: r for r in dedup_spans(df, n=2).collect()}
+    assert out[1]["text"] == "a b t"
+    assert out[1]["n_spans_removed"] == 1
+    assert out[2]["text"] == "z z"
+    assert out[3]["text"] == "p q r s"
+    assert out[3]["n_spans_removed"] == 0
+    assert out[4]["text"] == "x"
+
+    # all-spans-removed doc rebuilds to the empty string, not NULL
+    df2 = _docs(spark, [(1, "a b"), (2, "a b")])
+    out2 = {r["doc_id"]: r["text"]
+            for r in dedup_spans(df2, n=2).collect()}
+    assert out2 == {1: "a b", 2: ""}
+
+
+def test_duplicate_spans_shuffles_keys_not_text(spark):
+    """The candidate shuffle carries only (id, idx, 16-hex key) — the
+    corpus text column never enters an Exchange on the decision path."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from webalizer_spark.operators.quality import duplicate_spans
+    plan = duplicate_spans(df, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_lm_perplexity_known_values(spark):
+    """Unigram LM on a 2-doc corpus, checked against hand-computed
+    add-alpha probabilities, including the UNK fallback for a token
+    the LM never saw."""
+    import math
+
+    from webalizer_spark.operators.quality import (
+        lm_perplexity,
+        unigram_logprobs,
+    )
+
+    train = _docs(spark, [(1, "a a b"), (2, "b c")])
+    # counts: a=2 b=2 c=1, total=5, vocab=3; denom = 5 + .5*4 = 7
+    lm = unigram_logprobs(train, alpha=0.5)
+    got = {r["token"]: r["logp"] for r in lm.collect()}
+    assert abs(got["a"] - math.log(2.5 / 7)) < 1e-12
+    assert abs(got["c"] - math.log(1.5 / 7)) < 1e-12
+    assert abs(got[None] - math.log(0.5 / 7)) < 1e-12
+
+    score = _docs(spark, [(9, "a c zz")])      # zz is OOV -> UNK logp
+    row = lm_perplexity(score, lm=lm).collect()[0]
+    expect = -(round(math.log(2.5 / 7), 6) + round(math.log(1.5 / 7), 6)
+               + round(math.log(0.5 / 7), 6))
+    assert row["ntok"] == 3
+    assert abs(row["nll"] - round(expect, 6)) < 1e-9
+    assert abs(row["ppl"] - round(math.exp(expect / 3), 6)) < 1e-9
+
+
+def test_lm_perplexity_no_text_through_exchange(spark):
+    """The scoring path explodes tokens WITHOUT the text column and
+    broadcasts the LM: no Exchange carries corpus text, and the per-doc
+    collapse is the only wide stage."""
+    from webalizer_spark.operators.quality import lm_perplexity
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = lm_perplexity(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -143,3 +143,146 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     the anti-join — contamination is rare, the corpus never shuffles."""
     bad = contaminated_ids(docs, benchmark, n, text_col, bench_text_col)
     return docs.join(F.broadcast(bad), "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span dedup (C4 / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+def _span_key(span: Column) -> Column:
+    """16-hex md5 prefix — spans never cross an Exchange as text."""
+    return F.substring(F.md5(span), 1, 16)
+
+
+def duplicate_spans(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """C4-style cross-document span duplication: every NON-OVERLAPPING
+    n-token span that occurs more than once corpus-wide, minus one
+    keeper occurrence (the first by (doc_id, span_idx)).
+
+    Returns (id_col, span_idx) rows to REMOVE — C4 "discard all but one
+    of any three-sentence span occurring more than once in the data
+    set" recast to token windows, since the engine's corpus rows are
+    untokenized word streams. Non-overlapping windows keep the exploded
+    volume at tokens/n keys (overlapping grams would be tokens*n).
+
+    Scale design: only (id, idx, 16-hex key) triples shuffle — the
+    groupBy(key) is map-side partial and text never leaves its row. The
+    keeper is min(struct(id, idx)) per key, no window function.
+    Reference parity: recasts the duplicate-hit collapse INTENT of
+    webalizer's hashed URL table `[hashtab.c ƒadd_url (U)]` onto
+    corpus-level spans, like operators/dedup.py does for whole docs.
+    """
+    toks = _toks(text_col)
+    nspans = (F.size(toks) / n).cast("int")
+    spans = (docs
+             .select(F.col(id_col),
+                     F.posexplode(
+                         F.transform(
+                             F.sequence(F.lit(0), nspans - 1),
+                             lambda i: _span_key(
+                                 F.concat_ws(" ", F.slice(toks, i * n + 1,
+                                                          n)))))
+                     .alias("span_idx", "key"))
+             .where(nspans > 0))
+    keepers = (spans.groupBy("key")
+               .agg(F.min(F.struct(id_col, "span_idx")).alias("_keep"),
+                    F.count(F.lit(1)).alias("_cnt"))
+               .where(F.col("_cnt") > 1))
+    return (spans.join(keepers, "key")
+            .where(F.struct(id_col, "span_idx") != F.col("_keep"))
+            .select(id_col, "span_idx"))
+
+
+def dedup_spans(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Rewrite each document with its duplicated spans removed (keeper
+    occurrences and the <n-token tail survive). Adds
+    ``n_spans_removed``; all other columns pass through with text_col
+    rebuilt via per-row higher-order functions — the corpus joins the
+    SMALL removal set on id (AQE picks the strategy; removals are rare
+    by construction), it never shuffles on span keys itself."""
+    rm = (duplicate_spans(docs, n, id_col, text_col)
+          .groupBy(id_col).agg(F.collect_set("span_idx").alias("_rm")))
+    toks = _toks(text_col)
+    nspans = (F.size(toks) / n).cast("int")
+    kept = F.filter(
+        F.sequence(F.lit(0), nspans - 1),
+        lambda i: ~F.array_contains(F.col("_rm"), i))
+    rebuilt = F.concat_ws(
+        " ",
+        F.flatten(F.concat(
+            F.transform(kept, lambda i: F.slice(toks, i * n + 1, n)),
+            F.array(F.slice(toks, nspans * n + 1, F.size(toks) - nspans * n)),
+        )))
+    out = (docs.join(rm, id_col, "left")
+           .withColumn("_nrm", F.coalesce(F.size("_rm"), F.lit(0)))
+           .withColumn(text_col,
+                       F.when(F.col("_nrm") > 0, rebuilt)
+                       .otherwise(F.col(text_col))))
+    return (out.select(*docs.columns, F.col("_nrm")
+                       .cast("int").alias("n_spans_removed")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus language-model scoring (CCNet style)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprobs(docs: DataFrame, text_col: str = "text",
+                     alpha: float = 0.5) -> DataFrame:
+    """Corpus unigram LM with add-alpha smoothing: (token, logp) plus
+    one UNK row (token NULL) for out-of-vocabulary mass. Two scalars
+    (corpus size, vocab size) ride a scalar-aggregate crossJoin —
+    broadcast, no global window. CCNet scores corpora with a reference
+    KenLM; this is the engine-native equivalent trained on the corpus
+    itself (or any reference DataFrame you pass)."""
+    counts = (docs.select(F.explode(_toks(text_col)).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    tot = counts.agg(F.sum("cnt").alias("_total"),
+                     F.count(F.lit(1)).alias("_vocab"))
+    denom = F.col("_total") + F.lit(alpha) * (F.col("_vocab") + 1)
+    with_unk = counts.unionByName(          # tot has exactly one row,
+        tot.select(F.lit(None).cast("string").alias("token"),   # so this
+                   F.lit(0).cast("bigint").alias("cnt")))       # adds UNK
+    return (with_unk.crossJoin(F.broadcast(tot.select(
+                F.col("_total"), F.col("_vocab"))))
+            .select("token", "cnt",
+                    F.log((F.col("cnt") + alpha) / denom).alias("logp")))
+
+
+def lm_perplexity(docs: DataFrame, lm: DataFrame | None = None,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  alpha: float = 0.5) -> DataFrame:
+    """Per-document unigram negative-log-likelihood + perplexity under
+    ``lm`` (default: trained on ``docs`` itself). The quality filter
+    CCNet/C4 pipelines run: high perplexity = far from the reference
+    distribution = drop or down-bucket.
+
+    Scale design: tokens explode WITHOUT the text column, the LM is
+    broadcast into the lookup join (OOV falls back to the UNK row's
+    logp), and the per-doc groupBy collapses map-side to one skinny
+    (id, decimal-sum) row per partition — no Exchange ever carries
+    corpus text or the token stream. Per-token logp is rounded to 6dp
+    (decimal) before the exact sum so the answer is independent of
+    aggregation order — the engine-wide oracle-determinism recipe."""
+    if lm is None:
+        lm = unigram_logprobs(docs, text_col, alpha)
+    unk = lm.where(F.col("token").isNull()) \
+            .select(F.col("logp").alias("_unk_logp"))
+    toks = (docs.select(id_col, F.explode(_toks(text_col)).alias("token")))
+    scored = (toks
+              .join(F.broadcast(lm.where(F.col("token").isNotNull())),
+                    "token", "left")
+              .crossJoin(F.broadcast(unk))
+              .select(id_col,
+                      F.coalesce("logp", "_unk_logp").alias("_lp")))
+    dec = F.round(F.col("_lp"), 6).cast("decimal(24,6)")
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("ntok"),
+                 (-F.sum(dec)).cast("double").alias("nll"))
+            .select(id_col, "ntok",
+                    F.round("nll", 6).alias("nll"),
+                    F.round(F.exp(F.col("nll") / F.col("ntok")), 6)
+                    .alias("ppl")))

@@ -1584,6 +1584,111 @@ def doc_decontam(spark, sf):
     return contaminated_ids(docs, bench, n=8)
 
 
+@qu("doc_span_dedup", """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), s0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks) // 8),
+             i -> struct_pack(idx := CAST(i AS INT),
+                 key := substr(md5(array_to_string(
+                     list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')),
+                     1, 16)))) AS u
+  FROM t
+), s AS (
+  SELECT doc_id, u.idx AS span_idx, u.key AS key FROM s0
+), ranked AS (
+  SELECT doc_id, span_idx, key,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY doc_id, span_idx) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS cnt
+  FROM s
+), rm AS (
+  SELECT doc_id, list(span_idx ORDER BY span_idx) AS rmidx
+  FROM ranked WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id,
+       CAST(COALESCE(len(rm.rmidx), 0) AS INT) AS n_spans_removed,
+       md5(CASE WHEN rm.doc_id IS NULL THEN t.text ELSE
+         -- array_to_string([]) is NULL in DuckDB but concat_ws is ''
+         -- in Spark: the all-spans-removed doc must hash as ''
+         COALESCE(array_to_string(
+           flatten(list_transform(
+             list_filter(range(0, len(toks) // 8),
+                         i -> NOT list_contains(rm.rmidx, CAST(i AS INT))),
+             i -> list_slice(toks, i * 8 + 1, i * 8 + 8)))
+           || list_slice(toks, (len(toks) // 8) * 8 + 1, len(toks)), ' '),
+           '')
+       END) AS text_md5
+FROM t LEFT JOIN rm ON t.doc_id = rm.doc_id
+""")
+def doc_span_dedup(spark, sf):
+    """C4-style cross-document span dedup (ungraded; graded window
+    full): quality.dedup_spans removes every duplicated non-overlapping
+    8-token span corpus-wide except one keeper, rebuilding the text via
+    per-row higher-order functions with only md5 span KEYS crossing the
+    shuffle. DuckDB re-derives removal AND reconstruction independently
+    (window-function keeper vs min-struct keeper; list_filter rebuild)
+    — agreeing text md5s pin both the dedup decision and the rebuild."""
+    from webalizer_spark.operators.quality import dedup_spans
+
+    out = dedup_spans(_t(spark, sf, "documents"), n=8)
+    return out.select("doc_id", "n_spans_removed",
+                      F.md5("text").alias("text_md5"))
+
+
+@qu("doc_lm_ppl", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total, COUNT(*) AS vocab FROM c
+), lp AS (
+  SELECT token, ln((cnt + 0.5) / (total + 0.5 * (vocab + 1))) AS logp
+  FROM c, tot
+), unk AS (
+  SELECT ln(0.5 / (total + 0.5 * (vocab + 1))) AS unk_logp FROM tot
+), scored AS (
+  SELECT s.doc_id,
+         COALESCE(lp.logp, unk.unk_logp) AS logp
+  FROM (SELECT doc_id,
+               unnest(toks || ['qoov' || CAST(doc_id % 3 AS VARCHAR)])
+                 AS token
+        FROM t) s
+  LEFT JOIN lp ON s.token = lp.token CROSS JOIN unk
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok,
+       CAST(ROUND(-SUM(CAST(ROUND(logp, 6) AS DECIMAL(24,6))), 6)
+            AS DOUBLE) AS nll,
+       ROUND(exp(CAST(-SUM(CAST(ROUND(logp, 6) AS DECIMAL(24,6)))
+                      AS DOUBLE) / COUNT(*)), 6) AS ppl
+FROM scored GROUP BY 1
+""")
+def doc_lm_ppl(spark, sf):
+    """CCNet-style LM quality scoring (ungraded): a corpus-trained
+    add-alpha unigram LM (quality.unigram_logprobs) scores each doc's
+    negative log-likelihood + perplexity via broadcast token lookup —
+    the scored docs carry one injected out-of-vocabulary token each, so
+    the UNK fallback branch is exercised, not just the vocab hit path.
+    Per-token logp rounds to 6dp before an exact decimal sum (the
+    engine-wide order-independence recipe); DuckDB trains and scores
+    the same LM independently."""
+    from webalizer_spark.operators.quality import (
+        lm_perplexity,
+        unigram_logprobs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    lm = unigram_logprobs(docs)
+    oov = docs.withColumn(
+        "text", F.concat("text", F.lit(" qoov"),
+                         (F.col("doc_id") % 3).cast("string")))
+    return lm_perplexity(oov, lm=lm)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation. The driver's CORRECTNESS artifact covers the
 # first 50 registered queries (round-2 verdict: the 11 newest were invisible
