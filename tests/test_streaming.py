@@ -182,3 +182,70 @@ def test_streaming_entry_exit_matches_batch(spark, transcripts, fixture_dir):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming first-arrival dedup == batch min-id dedup when the
+    stream replays in id order (one file per micro-batch), and the
+    watermarked variant drops an in-horizon re-crawl."""
+    import pandas as pd
+
+    from webalizer_spark.operators.dedup import exact_dedup
+    from webalizer_spark.streaming.session_stream import (
+        streaming_exact_dedup,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    # append exact duplicates of the first 40 docs under new ids
+    dups = (docs.filter("doc_id < 40")
+            .withColumn("doc_id", F.col("doc_id") + 100000))
+    full = docs.unionByName(dups)
+    batch_kept = {r["doc_id"] for r in
+                  exact_dedup(full).select("doc_id").collect()}
+
+    # replay in doc_id order, one file per trigger
+    src = tmp_path / "stream_src"
+    for lo, hi, fn in [(0, 250, "a"), (250, 100000, "b"),
+                       (100000, 200000, "c")]:
+        (full.filter(f"doc_id >= {lo} and doc_id < {hi}")
+         .orderBy("doc_id").coalesce(1)
+         .write.parquet(str(src / fn)))
+    stream = (spark.readStream.schema(full.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("recursiveFileLookup", "true").parquet(str(src)))
+    q = (streaming_exact_dedup(stream).writeStream.format("memory")
+         .queryName("dedup_stream").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    try:
+        got = {r["doc_id"] for r in
+               spark.sql("select doc_id from dedup_stream").collect()}
+    finally:
+        q.stop()
+    assert got == batch_kept
+
+    # watermarked variant: duplicate arriving within the horizon drops
+    wm_src = tmp_path / "wm_src"
+    pd1 = pd.DataFrame({"doc_id": [1, 2], "text": ["aa", "bb"],
+                        "ts": pd.to_datetime(["2024-01-01 00:00:00",
+                                              "2024-01-01 00:10:00"])})
+    pd2 = pd.DataFrame({"doc_id": [3], "text": ["aa"],
+                        "ts": pd.to_datetime(["2024-01-01 00:20:00"])})
+    sdf = spark.createDataFrame(pd1)
+    spark.createDataFrame(pd1).coalesce(1).write.parquet(str(wm_src / "a"))
+    spark.createDataFrame(pd2).coalesce(1).write.parquet(str(wm_src / "b"))
+    stream2 = (spark.readStream.schema(sdf.schema)
+               .option("maxFilesPerTrigger", 1)
+               .option("recursiveFileLookup", "true")
+               .parquet(str(wm_src)))
+    q2 = (streaming_exact_dedup(stream2, ts_col="ts", watermark="1 hour")
+          .writeStream.format("memory").queryName("dedup_wm")
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    try:
+        kept = {r["doc_id"] for r in
+                spark.sql("select doc_id from dedup_wm").collect()}
+    finally:
+        q2.stop()
+    assert kept == {1, 2}

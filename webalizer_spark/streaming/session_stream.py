@@ -135,3 +135,28 @@ def streaming_entry_exit(stream: DataFrame,
         .filter(F.col("page_hits") > 0)
         .select("conv_id", "entry_page", "exit_page", "page_hits")
     )
+
+
+def streaming_exact_dedup(stream: DataFrame, content_col: str = "text",
+                          ts_col: str | None = None,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Exact dedup as a STREAMING operator: first arrival per content
+    hash survives, later copies drop — the streaming twin of
+    operators/dedup.exact_dedup (which keeps min-id per hash; on a
+    stream that replays in id order the two agree row-for-row).
+
+    State discipline mirrors the batch operator's shuffle shape: the
+    dedup key is the 128-bit md5 of the content, so the state store
+    holds 16-byte fingerprints, never document text. With ``ts_col``
+    set, dropDuplicatesWithinWatermark bounds the state to the
+    watermark horizon — the 100 TB configuration, where "duplicate"
+    means "re-crawled within the window" (the same horizon trade every
+    streaming dedup at scale makes); without it, state grows with the
+    distinct-content count (demo/test mode only).
+    """
+    keyed = stream.withColumn("_fp", F.md5(F.col(content_col)))
+    if ts_col is not None:
+        keyed = keyed.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return (keyed.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["_fp"]).drop("_fp"))
+    return keyed.dropDuplicates(["_fp"]).drop("_fp")
