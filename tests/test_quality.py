@@ -179,3 +179,28 @@ def test_lm_perplexity_no_text_through_exchange(spark):
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_length_stats_exact_and_sketch(spark):
+    """Exact tier against hand-computed interpolated percentiles; the
+    t-digest sketch tier (the 100 TB path) within tolerance of exact —
+    the same exact-vs-sketch split as the HLL distinct tier."""
+    from webalizer_spark.operators.quality import length_stats
+
+    rows = [(i, " ".join(["w"] * ((i % 10) + 1)), "s") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = length_stats(df, by="source").collect()[0]
+    # ntok values: 1..10 twice -> p50 = 5.5, p90 = 9.1, mean = 5.5
+    assert out["n_docs"] == 20 and out["total_tok"] == 110
+    assert out["mean_tok"] == 5.5
+    assert out["p50_tok"] == 5.5
+    assert abs(out["p90_tok"] - 9.1) < 1e-9
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {r["source"]: r for r in length_stats(docs).collect()}
+    sk = {r["source"]: r for r in
+          length_stats(docs, exact=False).collect()}
+    assert set(exact) == set(sk)
+    for s, e in exact.items():
+        for c in ("p50_tok", "p90_tok", "p99_tok"):
+            assert abs(sk[s][c] - e[c]) <= max(1.0, 0.05 * e[c]), (s, c)

@@ -24,7 +24,7 @@ def test_ungraded_split_and_redact_match_duckdb(spark):
             f"FROM '{SF}/documents.parquet'")
     for name in ("doc_hash_split", "doc_redact",
                  "doc_repetition", "doc_decontam",
-                 "doc_span_dedup", "doc_lm_ppl"):
+                 "doc_span_dedup", "doc_lm_ppl", "doc_length_stats"):
         sdf = UNGRADED[name](spark, SF).toPandas()
         odf = con.sql(UNGRADED_ORACLE[name]).df()
         sc, sr = canon(sdf)

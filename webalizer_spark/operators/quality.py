@@ -286,3 +286,40 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame | None = None,
                     F.round("nll", 6).alias("nll"),
                     F.round(F.exp(F.col("nll") / F.col("ntok")), 6)
                     .alias("ppl")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus length distributions
+# ---------------------------------------------------------------------------
+
+
+def length_stats(docs: DataFrame, by: str = "source",
+                 text_col: str = "text",
+                 exact: bool = True) -> DataFrame:
+    """Per-group token-count distribution: doc count, total/mean tokens,
+    p50/p90/p99 — the length profile every corpus audit opens with
+    (extends the reference's averages/maxima family `[webalizer.c
+    ƒmonth_total_table avg/max rows (U)]` with percentiles).
+
+    ``exact=True`` uses sort-based percentile — order-independent by
+    construction, but it buffers each group's values in the aggregation
+    state, so it is for BOUNDED group cardinality at moderate per-group
+    counts (a per-source audit table, not a per-doc one). At 100 TB the
+    scale path is ``exact=False``: approx_percentile's t-digest sketch
+    is mergeable map-side and holds O(1/accuracy) state per group, the
+    same exact-vs-sketch split as A8's countDistinct vs HLL tier."""
+    ntok = F.size(_toks(text_col)).cast("bigint")
+    pct = (F.percentile(ntok, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+           if exact else
+           F.approx_percentile(ntok, F.array(F.lit(0.5), F.lit(0.9),
+                                             F.lit(0.99)), 10000))
+    return (docs.groupBy(by)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(ntok).alias("total_tok"),
+                 pct.alias("_pct"))
+            .select(by, "n_docs", "total_tok",
+                    F.round(F.col("total_tok") / F.col("n_docs"), 6)
+                    .alias("mean_tok"),
+                    F.col("_pct")[0].cast("double").alias("p50_tok"),
+                    F.col("_pct")[1].cast("double").alias("p90_tok"),
+                    F.col("_pct")[2].cast("double").alias("p99_tok")))

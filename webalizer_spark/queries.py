@@ -1689,6 +1689,32 @@ def doc_lm_ppl(spark, sf):
     return lm_perplexity(oov, lm=lm)
 
 
+@qu("doc_length_stats", """
+WITH t AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tok,
+       ROUND(CAST(SUM(ntok) AS DOUBLE) / COUNT(*), 6) AS mean_tok,
+       quantile_cont(ntok, 0.5) AS p50_tok,
+       quantile_cont(ntok, 0.9) AS p90_tok,
+       quantile_cont(ntok, 0.99) AS p99_tok
+FROM t GROUP BY 1
+""")
+def doc_length_stats(spark, sf):
+    """Per-source token-length distribution (ungraded): the corpus
+    audit table — doc counts, total/mean tokens, EXACT interpolated
+    p50/p90/p99 (quality.length_stats exact tier). Spark's sort-based
+    percentile and DuckDB's quantile_cont share the same rank*(n-1)
+    linear-interpolation definition, so the match is bit-exact
+    including interpolation artifacts; the sketch tier
+    (approx_percentile) is tolerance-tested in pytest like A8's HLL."""
+    from webalizer_spark.operators.quality import length_stats
+
+    return length_stats(_t(spark, sf, "documents"), by="source")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation. The driver's CORRECTNESS artifact covers the
 # first 50 registered queries (round-2 verdict: the 11 newest were invisible
