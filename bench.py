@@ -55,6 +55,8 @@ HEADLINE = [
     "emb_lsh_buckets",
     "emb_ann_topk",
     "doc_winnow_fingerprints",
+    "doc_span_dedup",
+    "doc_lm_ppl",
 ]
 
 

@@ -1,8 +1,9 @@
-"""Training-corpus quality operators: intra-document repetition metrics
-and benchmark decontamination.
+"""Training-corpus quality operators: repetition metrics, benchmark
+decontamination, cross-document span dedup, LM scoring, and length
+distributions.
 
 These extend the engine's LLM-data-pipeline family (dedup, similarity,
-lang-ID, quality buckets) with the two filters every large-scale text
+lang-ID, quality buckets) with the filters every large-scale text
 pipeline runs before training:
 
 - ``ngram_repetition``: the Gopher/MassiveText repetition signals —
@@ -12,6 +13,13 @@ pipeline runs before training:
 - ``decontaminate``: test-set overlap removal — drop every document
   that shares an n-token span with a benchmark/eval prompt, so the
   training corpus cannot leak evaluation data.
+- ``duplicate_spans`` / ``dedup_spans``: C4-style cross-document span
+  dedup — every duplicated non-overlapping n-token span loses all but
+  its first occurrence, with the text rebuilt in place.
+- ``unigram_logprobs`` / ``lm_perplexity``: CCNet-style quality scoring
+  under a corpus-trained add-alpha unigram LM.
+- ``length_stats``: per-group token-count distributions (exact and
+  t-digest percentile tiers).
 
 Scale design (100 TB):
 
