@@ -147,3 +147,62 @@ def test_pipeline_grok_strategy_multi(spark, dims):
     assert sum(r["hits"] for r in daily) == 4
     assert res.errors.count() == 1  # the corrupt squid line
     res.unpersist()
+
+
+def test_json_lines_parse(spark):
+    """S2 JSON-lines: shape detection on '{', nginx AND generic key
+    vocabularies, ISO-8601 + epoch-seconds timestamps, numeric or
+    string-typed status/bytes, '-' -> NULL, malformed JSON routed bad —
+    alongside a CLF row in the same table (mixed-format dispatch)."""
+    import datetime as dt
+
+    from webalizer_spark.operators.parse import parse_transcripts_multi
+
+    rows = [
+        '{"remote_addr":"10.0.0.1","remote_user":"alice",'
+        '"time_iso8601":"2024-01-16T10:00:00Z","request_method":"GET",'
+        '"request_uri":"/a/b.html","status":200,"body_bytes_sent":1234,'
+        '"http_referer":"http://r.example/","http_user_agent":"curl/8"}',
+        '{"ip":"10.0.0.2","ts":1705399200,"method":"POST","path":"/c",'
+        '"status":"404","bytes":"99","user_agent":"-"}',
+        '{"broken json',
+        '10.0.0.3 - - [16/Jan/2024:10:00:00 +0000] '
+        '"GET /clf HTTP/1.1" 200 7 "-" "UA"',
+    ]
+    df = spark.createDataFrame(
+        [(str(i), i, "user", r, None, None) for i, r in enumerate(rows)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    out = {r["turn_idx"]: r for r in parse_transcripts_multi(df).collect()}
+
+    nginx = out[0]
+    assert nginx["log_format"] == "json" and nginx["parse_ok"]
+    assert nginx["actor"] == "10.0.0.1" and nginx["auth_user"] == "alice"
+    assert nginx["verb"] == "GET" and nginx["path"] == "/a/b.html"
+    assert nginx["status"] == 200 and nginx["nbytes"] == 1234
+    assert nginx["referrer"] == "http://r.example/"
+    assert nginx["ts_text"] == dt.datetime(2024, 1, 16, 10, 0, 0)
+
+    generic = out[1]
+    assert generic["parse_ok"] and generic["actor"] == "10.0.0.2"
+    assert generic["status"] == 404 and generic["nbytes"] == 99
+    assert generic["agent_str"] is None          # '-' nullified
+    assert generic["ts_text"] == dt.datetime(2024, 1, 16, 10, 0, 0)
+
+    assert out[2]["log_format"] == "json" and not out[2]["parse_ok"]
+    assert out[3]["log_format"] == "combined" and out[3]["parse_ok"]
+
+
+def test_json_from_json_runs_once_per_row(spark):
+    """The packed record binds the parsed map via a 1-element transform
+    lambda: exactly ONE from_json in the plan, not one per key alias."""
+    from webalizer_spark.operators.parse import parse_transcripts_multi
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", '{"ip":"1.2.3.4"}', None, None)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    plan = parse_transcripts_multi(df)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert plan.count("from_json") == 1, plan
+

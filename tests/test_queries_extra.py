@@ -22,9 +22,12 @@ def test_ungraded_split_and_redact_match_duckdb(spark):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * "
             f"FROM '{SF}/documents.parquet'")
+    con.sql(f"CREATE VIEW events AS SELECT * "
+            f"FROM '{SF}/events.parquet'")
     for name in ("doc_hash_split", "doc_redact",
                  "doc_repetition", "doc_decontam",
-                 "doc_span_dedup", "doc_lm_ppl", "doc_length_stats"):
+                 "doc_span_dedup", "doc_lm_ppl", "doc_length_stats",
+                 "tr2_json"):
         sdf = UNGRADED[name](spark, SF).toPandas()
         odf = con.sql(UNGRADED_ORACLE[name]).df()
         sc, sr = canon(sdf)

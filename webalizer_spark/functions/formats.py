@@ -56,8 +56,9 @@ def detect_format(text: Column, default: str = "combined") -> Column:
 
     combined lines start with three tokens then '['; squid lines start
     with an epoch.millis number; xferlog lines start with a weekday
-    name; w3c lines are '#' directives or start with an ISO date. One
-    rlike each on a short prefix.
+    name; w3c lines are '#' directives or start with an ISO date;
+    structured (JSON-lines) logs start with '{'. One rlike each on a
+    short prefix.
 
     `default` is the class of rows matching NO shape test. The caller
     passes 'w3c' when a #Fields: directive is present in the table —
@@ -67,7 +68,8 @@ def detect_format(text: Column, default: str = "combined") -> Column:
     """
     head = F.substring(text, 1, 40)
     return (
-        F.when(head.rlike(r"^\d{9,10}\.\d{3}\s"), F.lit("squid"))
+        F.when(head.rlike(r"^\s*\{"), F.lit("json"))
+        .when(head.rlike(r"^\d{9,10}\.\d{3}\s"), F.lit("squid"))
         .when(head.rlike(r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun) "), F.lit("xferlog"))
         .when(head.rlike(r"^#(Fields|Version|Date|Software|Remark)"),
               F.lit("w3c"))
@@ -109,7 +111,58 @@ TS_PATTERNS = {
     "combined": "dd/MMM/yyyy:HH:mm:ss Z",
     "xferlog": "MMM d HH:mm:ss yyyy",
     "w3c": "yyyy-MM-dd HH:mm:ss",
+    # json also falls back to epoch seconds (parse.py coalesces)
+    "json": "yyyy-MM-dd'T'HH:mm:ssX",
 }
+
+# JSON-lines key aliases -> canonical GROK_FIELDS column. Covers the
+# stock nginx/Envoy structured-access-log vocabularies; first present
+# key wins. The reference predates structured logging — this extends
+# its LogType dispatch [parser.c ƒparse_record] to the format modern
+# collectors actually emit.
+_JSON_KEYS: dict[str, tuple[str, ...]] = {
+    "actor": ("remote_addr", "client_ip", "ip"),
+    "ident": (),
+    "auth_user": ("remote_user", "user"),
+    "dt_text": ("time_iso8601", "time", "timestamp", "ts"),
+    "verb": ("request_method", "method"),
+    "path": ("request_uri", "uri", "path"),
+    "status_text": ("status",),
+    "bytes_text": ("body_bytes_sent", "bytes_sent", "bytes"),
+    "referrer": ("http_referer", "referer", "referrer"),
+    "agent_str": ("http_user_agent", "user_agent", "agent"),
+}
+
+
+def _pack_json(text: Column) -> Column:
+    """JSON-lines -> canonical packed record: ONE from_json to
+    map<string,string> (scalar values coerce to their string form, so
+    numeric status/bytes pack like their CLF counterparts), then
+    constant-key lookups. Malformed JSON yields a NULL map -> every
+    cell empty -> parse_ok false, routed as a bad record like any
+    other format's regex miss."""
+    # same US-delimiter strip as _pack: a value containing the packing
+    # delimiter must not shift the record
+    m = F.from_json(F.replace(text, F.lit(_US), F.lit("")),
+                    "map<string,string>")
+
+    def pick(mm: Column, canon: str) -> Column:
+        keys = _JSON_KEYS.get(canon, ())
+        if not keys:
+            return F.lit("")
+        return F.coalesce(*[mm.getItem(k) for k in keys], F.lit(""))
+
+    # transform over a 1-element array binds the parsed map to a lambda
+    # variable: from_json runs ONCE per row, not once per key lookup
+    # (naively inlining `m` 20x leans on codegen subexpression
+    # elimination; the binding makes single evaluation structural)
+    return F.get(
+        F.transform(
+            F.array(m),
+            lambda mm: F.concat(
+                F.lit(_US),
+                F.concat_ws(_US, *[pick(mm, n) for n in GROK_FIELDS]))),
+        0)
 
 # W3C field name -> canonical GROK_FIELDS column [parser.c
 # ƒparse_record_w3c maps the same directives into log_struct]
@@ -214,6 +267,7 @@ def apply_grok_multi(df: DataFrame, text_col: str = "text",
                _pack(src, SQUID_PATTERN, _SQUID_MAP))
         .when(F.col("log_format") == "xferlog",
               _pack(src, XFERLOG_PATTERN, _XFERLOG_MAP))
+        .when(F.col("log_format") == "json", _pack_json(src))
     )
     if w3c_fields is not None:
         ladder = ladder.when(

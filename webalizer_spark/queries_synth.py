@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from webalizer_spark.functions.grok import MASTER_PATTERN
-from webalizer_spark.queries import _t, q
+from webalizer_spark.queries import _t, q, qu
 
 # ---------------------------------------------------------------------------
 # shared line synthesis — Spark side
@@ -736,6 +736,101 @@ def tr2_chronology(spark, sf):
                 .withColumn("branch", F.lit("fold")))
     return (drop_agg.unionByName(fold_agg)
             .select("branch", "day_ts", "hits", "folded"))
+
+
+def _synth_json(spark, sf):
+    """events -> JSON-lines structured access log, two key vocabularies
+    (even event_id: stock nginx names + ISO-8601 time; odd: generic
+    collector names + epoch-seconds ts) so every alias column in
+    formats._JSON_KEYS is exercised, plus malformed rows (event_id %
+    97 == 0) that must route as bad records."""
+    ev = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ts = F.date_trunc("second", F.col("ts"))
+    status = (F.when(F.col("event_type") == "error", F.lit(400) + eid % 5)
+              .otherwise(F.lit(200) + (eid % 2) * 100)).cast("int")
+    nbytes = F.floor(F.col("value") * 100).cast("long")
+    user = F.when(uid % 10 == 0, F.lit("-")).otherwise(
+        F.concat(F.lit("u"), s(uid % 50)))
+    path = F.concat(F.lit("/"), F.col("event_type"),
+                    F.lit("/e"), s(eid % 100))
+    verb = F.when(eid % 2 == 0, F.lit("GET")).otherwise(F.lit("POST"))
+    agent = F.concat(F.lit("tool"), s(eid % 4))
+    nginx = F.to_json(F.struct(
+        F.concat(F.lit("user"), s(uid)).alias("remote_addr"),
+        user.alias("remote_user"),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("time_iso8601"),
+        verb.alias("request_method"),
+        path.alias("request_uri"),
+        status.alias("status"),
+        nbytes.alias("body_bytes_sent"),
+        F.concat(F.lit("http://r"), s(eid % 7),
+                 F.lit(".example/")).alias("http_referer"),
+        agent.alias("http_user_agent")))
+    generic = F.to_json(F.struct(
+        F.concat(F.lit("user"), s(uid)).alias("ip"),
+        user.alias("user"),
+        F.unix_timestamp(ts).alias("ts"),
+        verb.alias("method"),
+        path.alias("path"),
+        s(status).alias("status"),          # string-typed, like many shippers
+        s(nbytes).alias("bytes"),
+        agent.alias("agent")))
+    line = (F.when(eid % 97 == 0, F.lit('{"broken":'))
+            .when(eid % 2 == 0, nginx).otherwise(generic))
+    return ev.select(
+        F.concat(F.lit("c"), s(eid % 1000)).alias("conv_id"),
+        eid.cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        line.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        ts.alias("ts"))
+
+
+@qu("tr2_json", """
+WITH base AS (
+  SELECT event_id, user_id, date_trunc('second', ts) AS ts2, event_type,
+         CAST(CASE WHEN event_type = 'error' THEN 400 + event_id % 5
+              ELSE 200 + (event_id % 2) * 100 END AS INT) AS status,
+         CAST(FLOOR(value * 100) AS BIGINT) AS nbytes
+  FROM events
+)
+SELECT event_id, 'json' AS log_format,
+       CASE WHEN event_id % 97 = 0 THEN NULL
+            ELSE 'user' || user_id END AS actor,
+       CASE WHEN event_id % 97 = 0 OR user_id % 10 = 0 THEN NULL
+            ELSE 'u' || (user_id % 50) END AS auth_user,
+       CASE WHEN event_id % 97 = 0 THEN NULL
+            WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS verb,
+       CASE WHEN event_id % 97 = 0 THEN NULL
+            ELSE '/' || event_type || '/e' || (event_id % 100) END AS path,
+       CASE WHEN event_id % 97 = 0 THEN NULL ELSE status END AS status,
+       CASE WHEN event_id % 97 = 0 THEN NULL ELSE nbytes END AS nbytes,
+       CASE WHEN event_id % 97 = 0 THEN NULL ELSE ts2 END AS ts_text,
+       CASE WHEN event_id % 97 = 0 OR event_id % 2 = 1 THEN NULL
+            ELSE 'http://r' || (event_id % 7) || '.example/'
+       END AS referrer,
+       CASE WHEN event_id % 97 = 0 THEN NULL
+            ELSE 'tool' || (event_id % 4) END AS agent_str,
+       event_id % 97 <> 0 AS parse_ok
+FROM base
+""")
+def tr2_json(spark, sf):
+    """S2 JSON-lines oracle (ungraded; graded window capped at 50): the
+    structured-log parse path end-to-end — shape detection on '{', ONE
+    from_json per row (lambda-bound map), alias-key fallbacks across
+    two real collector vocabularies, ISO-8601 AND epoch-seconds
+    timestamps, '-' -> NULL, malformed JSON routed as bad records. The
+    oracle re-derives every field from the same events source with no
+    JSON involved, so the whole mapping is hash-checked bit-exact."""
+    from webalizer_spark.operators.parse import parse_transcripts_multi
+
+    p = parse_transcripts_multi(_synth_json(spark, sf))
+    return p.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        "log_format", "actor", "auth_user", "verb", "path",
+        "status", "nbytes", "ts_text", "agent_str", "referrer", "parse_ok")
 
 
 # Re-apply the priority reorder + 50-row guard now that the tr2_* rows
