@@ -602,3 +602,67 @@ def test_fixture_contains_real_gif(spark, media):
             assert got["decoded_shape"] == "x".join(map(str, shape))
         else:
             assert got["decoded_shape"] == "x".join(map(str, shape[1:]))
+
+
+def test_flc_codec_round_trip():
+    """FLC is a REAL INTER-FRAME codec (DELTA_FLC line/packet diffs
+    against the previous frame, pure numpy/stdlib) and lossless for
+    indexed content: byte-exact round-trips, delta frames far smaller
+    than keyframes, corrupt streams refuse."""
+    from webalizer_spark.operators.flic import decode_flc, encode_flc
+
+    rng = np.random.default_rng(3)
+    for nf, h, w in [(1, 8, 11), (5, 13, 21), (4, 9, 16)]:
+        fr = np.zeros((nf, h, w), dtype=np.uint8)
+        fr[0] = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        for i in range(1, nf):
+            fr[i] = fr[i - 1]
+            fr[i, rng.integers(0, h), rng.integers(0, w)] = 77
+        dec, shape = decode_flc(encode_flc(fr))
+        assert shape == (nf, h, w, 3)
+        assert (dec[..., 0] == fr).all() and (dec[..., 1] == fr).all()
+
+    # inter-frame coding is real: 3 nearly-identical frames cost barely
+    # more than 1 keyframe (a per-frame-independent codec would be ~3x)
+    base = rng.integers(0, 256, (30, 40), dtype=np.uint8)
+    fr = np.stack([base] * 3).copy()
+    fr[1, 3, 5] = 1
+    fr[2, 8, 8] = 2
+    assert len(encode_flc(fr)) < len(encode_flc(fr[:1])) + 200
+
+    with pytest.raises(ValueError, match="not a FLIC"):
+        decode_flc(b"\x00" * 4 + b"\x99\x99" + b"\x00" * 122)
+    with pytest.raises(ValueError):
+        decode_flc(encode_flc(fr)[:64])
+
+
+def test_fixture_contains_real_flc(spark, media):
+    """The fixture ships genuine FLC payloads; extract_features and
+    sample_frames drive the inter-frame decode path under Spark, and
+    the frame count matches the n_frames metadata."""
+    import struct
+
+    from webalizer_spark.operators.flic import decode_flc
+
+    rows = media.select("media_id", "kind", "payload", "n_frames").collect()
+    flcs = [r for r in rows
+            if len(r["payload"]) > 6
+            and bytes(r["payload"][4:6]) == b"\x12\xaf"]
+    assert flcs, "no FLC rows in fixture"
+    feats = extract_features(media).toPandas()
+    for r in flcs:
+        frames, shape = decode_flc(bytes(r["payload"]))
+        assert shape[0] == r["n_frames"]
+        got = feats[feats["media_id"] == r["media_id"]].iloc[0]
+        assert bool(got["ok"])
+        assert got["decoded_shape"] == "x".join(map(str, shape))
+        # frame 2+ really is delta-coded: its frame chunk carries a
+        # DELTA_FLC (7) subchunk, not a BYTE_RUN keyframe
+        payload = bytes(r["payload"])
+        pos = 128
+        fsize, _, nchunks = struct.unpack_from("<IHH", payload, pos)
+        pos += fsize
+        _, _, nchunks2 = struct.unpack_from("<IHH", payload, pos)
+        if nchunks2:
+            _, ctype = struct.unpack_from("<IH", payload, pos + 16)
+            assert ctype == 7

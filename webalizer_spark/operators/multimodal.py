@@ -308,9 +308,10 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     _decode_fake image branch fixture-covered); audio rows rotate
     through REAL PCM16 WAVs (i odd), REAL FLAC streams (i%12==4) and
     the fake container; video rows are REAL YUV4MPEG2 streams
-    (i%6==2), REAL MJPEG AVIs (i%12==5) or REAL ANIMATED GIFs
-    (i%24==11), with i%24==23 on the self-describing fake container
-    (standing in for inter-frame codecs and keeping that branch
+    (i%6==2), REAL MJPEG AVIs (i%12==5), REAL ANIMATED GIFs
+    (i%24==11) or REAL INTER-FRAME FLCs (i%48==23 — DELTA_FLC coded
+    frames), with i%48==47 on the self-describing fake container
+    (standing in for motion-compensated codecs and keeping that branch
     fixture-covered); the i%96==45 image row is a REAL PROGRESSIVE
     (SOF2) JPEG, i%96==93 keeps the fake-image branch covered."""
     rng = np.random.default_rng(seed)
@@ -370,6 +371,16 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
             payload = encode_gif(
                 pal[rng.integers(0, 16, (nf, h, w))].astype(np.uint8))
+        elif kind == "video" and i % 48 == 23:
+            from webalizer_spark.operators.flic import encode_flc
+            base = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            fr = np.stack([base] * nf).copy()
+            for fi in range(1, nf):       # sparse deltas, like real anims
+                ys = rng.integers(0, h, 4)
+                xs = rng.integers(0, w, 4)
+                fr[fi] = fr[fi - 1]
+                fr[fi, ys, xs] = rng.integers(0, 256, 4)
+            payload = encode_flc(fr)
         else:
             payload = (_MAGIC + struct.pack("<IIII", w, h, sr, nf)
                        + body.tobytes())
@@ -391,11 +402,11 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     """External-library codec path — requires PIL/av, which the sandbox
-    image lacks. Only INTER-FRAME compressed video (H.264/VP9 in
-    mp4/webm — motion compensation) still lands here: BMP/PNG/JPEG
+    image lacks. Only MOTION-COMPENSATED video (H.264/VP9 in mp4/webm —
+    block search + transform residuals) still lands here: BMP/PNG/JPEG
     (baseline grayscale+color AND progressive) + GIF images, WAV/FLAC
-    audio, and y4m + MJPEG-AVI + animated-GIF video all decode
-    natively above."""
+    audio, and y4m + MJPEG-AVI + animated-GIF + delta-coded FLC video
+    all decode natively above."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -453,6 +464,9 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
             return decode_avi_mjpeg(payload)
         samples, _sr = decode_wav(payload)
         return samples, (len(samples),)
+    if len(payload) >= 6 and payload[4:6] in (b"\x12\xaf", b"\x11\xaf"):
+        from webalizer_spark.operators.flic import decode_flc
+        return decode_flc(payload)
     if payload[:4] == b"fLaC":
         from webalizer_spark.operators.flac import decode_flac
         samples, _sr = decode_flac(payload)
