@@ -666,3 +666,88 @@ def test_fixture_contains_real_flc(spark, media):
         if nchunks2:
             _, ctype = struct.unpack_from("<IH", payload, pos + 16)
             assert ctype == 7
+
+
+def test_mpeg1_codec_closed_loop():
+    """MPEG-1 (ISO 11172-2 I/P subset) is a REAL MOTION-COMPENSATED
+    codec: the decoder reproduces the encoder's own reconstruction
+    BIT-EXACTLY across a full GOP (any mismatch would be P-frame
+    drift), in both full-pel and half-pel vector modes, and inter
+    coding genuinely pays (a panning scene costs far less than
+    per-frame-independent I-frames)."""
+    from webalizer_spark.operators.mpeg1 import decode_mpeg1, encode_mpeg1
+
+    rng = np.random.default_rng(11)
+    nf, h, w = 8, 34, 46
+    bg = rng.integers(0, 256, (h + 40, w + 40, 3), dtype=np.uint8)
+    frames = np.stack([bg[2 * i:2 * i + h, 3 * i:3 * i + w]
+                       for i in range(nf)])
+    for full_pel in (True, False):
+        rec = []
+        bs = encode_mpeg1(frames, qscale=8, gop=4, recon_out=rec,
+                          full_pel=full_pel)
+        dec, shape = decode_mpeg1(bs)
+        assert shape == (nf, h, w, 3)
+        for i in range(nf):
+            assert np.array_equal(dec[i], rec[i]), f"drift at frame {i}"
+
+    # fidelity on codec-friendly (smooth) content: > 40 dB at qscale 2
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = np.stack([
+        np.stack([np.clip(128 + 60 * np.sin(yy / 7 + i / 3)
+                          + 50 * np.cos(xx / 9), 0, 255)] * 3, -1)
+        for i in range(4)]).astype(np.uint8)
+    dec_s, _ = decode_mpeg1(encode_mpeg1(smooth, qscale=2, gop=4))
+    err = dec_s.astype(np.int32) - smooth.astype(np.int32)
+    psnr = 10 * np.log10(255 ** 2 / float((err ** 2).mean()))
+    assert psnr > 40.0
+
+    # motion compensation is real: on a smooth even-pel pan (chroma
+    # vectors stay integral and the I-frame reconstruction is near-
+    # exact, so forward prediction is almost free) the GOP costs far
+    # less than the same frames coded I-only (gop=1). On noise content
+    # P-frames legitimately re-code the prior frame's quantization
+    # error, so the ratio is asserted on codec-friendly content.
+    yy, xx = np.mgrid[0:h + 40, 0:w + 40]
+    sbg = np.clip(128 + 60 * np.sin(yy / 7.0) + 50 * np.cos(xx / 9.0),
+                  0, 255).astype(np.uint8)
+    sbg = np.stack([sbg, sbg[::-1], sbg], -1)
+    pan = np.stack([sbg[2 * i:2 * i + h, 4 * i:4 * i + w]
+                    for i in range(nf)])
+    ip = len(encode_mpeg1(pan, qscale=2, gop=8))
+    ionly = len(encode_mpeg1(pan, qscale=2, gop=1))
+    assert ip < 0.6 * ionly
+
+    # static frames collapse to skipped macroblocks (smooth content:
+    # the reference reconstruction is close enough that residuals
+    # quantize to zero and whole macroblock runs skip)
+    still = np.stack([pan[0]] * 4)
+    assert len(encode_mpeg1(still, qscale=2, gop=4)) < \
+        len(encode_mpeg1(still[:1], qscale=2)) + 120
+
+    with pytest.raises(ValueError, match="not an MPEG-1"):
+        decode_mpeg1(b"\x00\x00\x01\xb7" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        decode_mpeg1(encode_mpeg1(still[:1], qscale=8)[:24])
+    with pytest.raises(ValueError, match="even dimensions"):
+        encode_mpeg1(np.zeros((1, 17, 16, 3), dtype=np.uint8))
+
+
+def test_fixture_contains_real_mpeg1(spark, media):
+    """The fixture ships genuine MPEG-1 elementary streams (sequence
+    start code 000001B3); extract_features drives the motion-
+    compensated decode path under Spark and the frame count matches
+    the stream."""
+    from webalizer_spark.operators.mpeg1 import decode_mpeg1
+
+    rows = media.select("media_id", "kind", "payload", "n_frames").collect()
+    mpgs = [r for r in rows
+            if bytes(r["payload"][:4]) == b"\x00\x00\x01\xb3"]
+    assert mpgs, "no MPEG-1 rows in fixture"
+    feats = extract_features(media).toPandas()
+    for r in mpgs:
+        frames, shape = decode_mpeg1(bytes(r["payload"]))
+        assert shape[0] == r["n_frames"]
+        got = feats[feats["media_id"] == r["media_id"]].iloc[0]
+        assert bool(got["ok"])
+        assert got["decoded_shape"] == "x".join(map(str, shape))

@@ -16,9 +16,11 @@ lossless) are REAL codecs implemented here — the fixture generator
 emits genuine .bmp/.wav/.png/.jpg/.flac payloads, and the
 feature/resize paths decode them like any external tool would.
 Progressive (SOF2) JPEG decodes natively too since round 5. Video ships
-as REAL YUV4MPEG2 (C420 luma) streams and REAL MJPEG AVIs
-(operators/avi.py — RIFF container, per-frame baseline JPEG) any ffmpeg
-reads. Formats still needing external libraries (INTER-FRAME video
+as REAL YUV4MPEG2 (C420 luma) streams, REAL MJPEG AVIs
+(operators/avi.py — RIFF container, per-frame baseline JPEG) and REAL
+MPEG-1 elementary streams (operators/mpeg1.py — ISO 11172-2 I/P
+subset with motion-compensated forward prediction) any ffmpeg reads.
+Formats still needing external libraries (modern entropy-coded video
 codecs — H.264/VP9 in mp4/webm — ONLY) go through `_decode_real`,
 which raises
 NotImplementedError behind an import-try (PIL / soundfile are not in
@@ -309,9 +311,11 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     through REAL PCM16 WAVs (i odd), REAL FLAC streams (i%12==4) and
     the fake container; video rows are REAL YUV4MPEG2 streams
     (i%6==2), REAL MJPEG AVIs (i%12==5), REAL ANIMATED GIFs
-    (i%24==11) or REAL INTER-FRAME FLCs (i%48==23 — DELTA_FLC coded
-    frames), with i%48==47 on the self-describing fake container
-    (standing in for motion-compensated codecs and keeping that branch
+    (i%24==11), REAL INTER-FRAME FLCs (i%48==23 — DELTA_FLC coded
+    frames) or REAL MOTION-COMPENSATED MPEG-1 streams (i%96==47 —
+    I/P pictures, alternating full-pel/half-pel vectors by row parity),
+    with i%96==95 on the self-describing fake container (standing in
+    for modern entropy-coded codecs and keeping that branch
     fixture-covered); the i%96==45 image row is a REAL PROGRESSIVE
     (SOF2) JPEG, i%96==93 keeps the fake-image branch covered."""
     rng = np.random.default_rng(seed)
@@ -371,6 +375,15 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
             payload = encode_gif(
                 pal[rng.integers(0, 16, (nf, h, w))].astype(np.uint8))
+        elif kind == "video" and i % 96 == 47:
+            from webalizer_spark.operators.mpeg1 import encode_mpeg1
+            w2, h2 = max(w // 2 * 2, 8), max(h // 2 * 2, 8)
+            base = rng.integers(0, 256, (nf, h2 + 16, w2 + 16, 3),
+                                dtype=np.uint8)
+            fr = np.stack([base[fi, fi % 8:fi % 8 + h2,
+                                fi % 8:fi % 8 + w2] for fi in range(nf)])
+            payload = encode_mpeg1(fr, qscale=8, gop=4,
+                                   full_pel=bool(i % 2))
         elif kind == "video" and i % 48 == 23:
             from webalizer_spark.operators.flic import encode_flc
             base = rng.integers(0, 256, (h, w), dtype=np.uint8)
@@ -402,11 +415,13 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     """External-library codec path — requires PIL/av, which the sandbox
-    image lacks. Only MOTION-COMPENSATED video (H.264/VP9 in mp4/webm —
-    block search + transform residuals) still lands here: BMP/PNG/JPEG
-    (baseline grayscale+color AND progressive) + GIF images, WAV/FLAC
-    audio, and y4m + MJPEG-AVI + animated-GIF + delta-coded FLC video
-    all decode natively above."""
+    image lacks. Only MODERN ENTROPY-CODED video (H.264/VP9 in
+    mp4/webm — CABAC/range coding, in-loop filters) still lands here:
+    BMP/PNG/JPEG (baseline grayscale+color AND progressive) + GIF
+    images, WAV/FLAC audio, and y4m + MJPEG-AVI + animated-GIF +
+    delta-coded FLC + MOTION-COMPENSATED MPEG-1 (operators/mpeg1.py,
+    I/P pictures with half-pel-capable forward prediction) video all
+    decode natively above."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
@@ -464,6 +479,9 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
             return decode_avi_mjpeg(payload)
         samples, _sr = decode_wav(payload)
         return samples, (len(samples),)
+    if payload[:4] == b"\x00\x00\x01\xb3":
+        from webalizer_spark.operators.mpeg1 import decode_mpeg1
+        return decode_mpeg1(payload)
     if len(payload) >= 6 and payload[4:6] in (b"\x12\xaf", b"\x11\xaf"):
         from webalizer_spark.operators.flic import decode_flc
         return decode_flc(payload)
