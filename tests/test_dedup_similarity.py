@@ -389,3 +389,39 @@ def test_lsh_signature_paths_agree_on_short_vectors(spark):
         emb, 4, 64, "vec_id", "embedding", 2).collect()))
     assert lit == exp
     assert all(sig != 0 for _, _, sig in lit)   # not NULL-poisoned
+
+
+def test_semantic_dedup_cluster_path(spark):
+    """SemDeDup (cluster-then-prune): ids dropped by the cell-bucketed
+    path are a subset of the all-pairs near-dup vertex set (cluster
+    candidates may miss cross-cell pairs, never invent edges), the
+    min-id member of any verified pair survives, and a hot-cell cap
+    logs and drops rather than letting one degenerate cell go
+    quadratic. Both centroid sources run: the deterministic
+    fixed_centroids (the oracle twin's pin) and the sampled-k-means
+    production path."""
+    from webalizer_spark.operators.similarity import (
+        fixed_centroids,
+        near_dup_cosine,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    pairs = near_dup_cosine(emb, 0.45).collect()
+    in_some_pair = ({r["vec_a"] for r in pairs}
+                    | {r["vec_b"] for r in pairs})
+    for cents in (fixed_centroids(emb, 4), None):
+        kept = {r["vec_id"]
+                for r in semantic_dedup(emb, 0.45, n_cells=8,
+                                        centroids=cents)
+                .select("vec_id").collect()}
+        dropped = all_ids - kept
+        assert dropped <= in_some_pair
+        assert min(in_some_pair, default=0) in kept or not pairs
+
+    # hot-cell cap: capping every cell to 1 member leaves no pairs at
+    # all -> nothing is dropped (and the drop is logged, not silent)
+    kept_capped = semantic_dedup(emb, 0.45, n_cells=2,
+                                 max_cell_size=1).count()
+    assert kept_capped == len(all_ids)

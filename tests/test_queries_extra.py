@@ -24,10 +24,12 @@ def test_ungraded_split_and_redact_match_duckdb(spark):
             f"FROM '{SF}/documents.parquet'")
     con.sql(f"CREATE VIEW events AS SELECT * "
             f"FROM '{SF}/events.parquet'")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * "
+            f"FROM '{SF}/embeddings.parquet'")
     for name in ("doc_hash_split", "doc_redact",
                  "doc_repetition", "doc_decontam",
                  "doc_span_dedup", "doc_lm_ppl", "doc_length_stats",
-                 "tr2_json"):
+                 "tr2_json", "emb_semdedup_keep"):
         sdf = UNGRADED[name](spark, SF).toPandas()
         odf = con.sql(UNGRADED_ORACLE[name]).df()
         sc, sr = canon(sdf)

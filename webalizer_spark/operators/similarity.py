@@ -359,3 +359,68 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id",
                     F.round("cos", 6).alias("cos")))
+
+
+def fixed_centroids(emb: DataFrame, n_cells: int,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Deterministic no-training centroids: the embeddings of the
+    n_cells smallest ids, cell_id = position in id order. Exists so
+    cluster-bucketed operators have an engine-portable oracle twin
+    (DuckDB re-derives the same centroids with ORDER BY + LIMIT); the
+    production path is ivf_centroids' sampled spherical k-means."""
+    return (emb.orderBy(F.col(id_col).asc()).limit(n_cells)
+            .select(F.col(id_col), F.col(vec_col).alias("centroid"))
+            .withColumn("cell_id", (F.row_number().over(
+                Window.orderBy(F.col(id_col).asc())) - 1).cast("int"))
+            .select("cell_id", "centroid"))
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.45,
+                   n_cells: int = 16, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: DataFrame | None = None,
+                   max_cell_size: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster-then-prune, per the
+    published SemDeDup recipe): k-means-cluster the embeddings, compare
+    pairs ONLY within a cluster (near-dups land in the same cell
+    because they are near the same centroid), exact cosine on the
+    within-cell candidates, connected components over the >= threshold
+    edges, keep the minimum-id member of each component.
+
+    The third member of the embedding-dedup family, with a genuinely
+    different candidate generator: near_dup_cosine = exact all-pairs
+    (size-guarded baseline), near_dup_remove_lsh = hyperplane-LSH
+    buckets (recall from multi-table OR), semantic_dedup = centroid
+    cells (recall from cluster locality — cheaper than LSH when a good
+    clustering exists, the standard choice for web-scale embedding
+    curation). 100 TB shape: centroids broadcast (tiny), the corpus
+    shuffles ONCE on cell_id for the self-join, pair work is bounded
+    by cell sizes (max_cell_size caps pathological cells exactly like
+    LSH's hot-bucket cap), and only (id, cell) pairs plus candidate
+    ids cross the wire beyond that one partition pass — vector
+    payloads join back by id AFTER candidate pruning.
+    """
+    from webalizer_spark.operators.dedup import (_cap_hot_keys,
+                                                 drop_non_min_members)
+
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_cells, id_col, vec_col)
+    assign = ivf_assign(emb, centroids, id_col, vec_col, 1)
+    assign = _cap_hot_keys(assign, ["cell_id"], max_cell_size,
+                           "semantic_dedup")
+    a = assign.select(F.col(id_col).alias("va"),
+                      F.col("cell_id").alias("ca"))
+    b = assign.select(F.col(id_col).alias("vb"),
+                      F.col("cell_id").alias("cb"))
+    cand = (a.join(b, (F.col("ca") == F.col("cb"))
+                   & (F.col("va") < F.col("vb")))
+            .select("va", "vb"))
+    ea = emb.select(F.col(id_col).alias("va"), F.col(vec_col).alias("_ea"),
+                    _norm_col(vec_col).alias("_na"))
+    eb = emb.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("_eb"),
+                    _norm_col(vec_col).alias("_nb"))
+    edges = (cand.join(ea, "va").join(eb, "vb")
+             .filter(_pair_cos("_ea", "_eb", "_na", "_nb") >= threshold)
+             .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b")))
+    return drop_non_min_members(emb, edges, id_col)

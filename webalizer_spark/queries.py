@@ -1447,6 +1447,57 @@ def emb_near_dup_keep(spark, sf):
     return near_dup_remove_lsh(e, threshold=0.45).select("vec_id")
 
 
+@qu("emb_semdedup_keep", "WITH RECURSIVE " + """cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+),
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell_id ASC) AS r
+    FROM scored) WHERE r = 1
+),
+edges AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM assign a JOIN assign b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= 0.45
+),
+""" + _CLOSURE_CTE.format(edges="edges", a="va", b="vb") + """
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT v FROM labels WHERE label <> v)
+""")
+def emb_semdedup_keep(spark, sf):
+    """SemDeDup-style semantic dedup: cluster embeddings into centroid
+    cells, exact cosine ONLY on within-cell pairs, connected
+    components, keep min id — the cluster-bucketed third member of the
+    embedding-dedup family (vs the all-pairs baseline and the LSH
+    bucket path). Pinned to the deterministic no-training centroids
+    (fixed_centroids: the 4 smallest ids) so the oracle re-derives the
+    assignment argmax, the within-cell edges and the transitive
+    closure independently in SQL; the sampled-k-means production path
+    is exercised in tests/test_dedup_similarity.py. UNGRADED (graded
+    window capped at 50) — pytest-checked with the driver's canon
+    comparison."""
+    from webalizer_spark.operators.similarity import (fixed_centroids,
+                                                      semantic_dedup)
+    e = _t(spark, sf, "embeddings")
+    return semantic_dedup(e, threshold=0.45,
+                          centroids=fixed_centroids(e, 4)) \
+        .select("vec_id")
+
+
 @qu("doc_hash_split", f"""
 WITH b AS (
   SELECT doc_id,
