@@ -204,3 +204,38 @@ def test_length_stats_exact_and_sketch(spark):
     for s, e in exact.items():
         for c in ("p50_tok", "p90_tok", "p99_tok"):
             assert abs(sk[s][c] - e[c]) <= max(1.0, 0.05 * e[c]), (s, c)
+
+
+def test_mixing_weights_semantics(spark):
+    """Mixture planning rules: un-normalized priorities normalize to
+    shares; the max-epochs cap binds for over-demanded small sources
+    (realized < desired); sources absent from targets mix at zero; and
+    realized shares sum to 1."""
+    from webalizer_spark.operators.quality import mixing_weights
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (10 if i % 3 == 0 else 500)
+          + "end", "small" if i % 3 == 0 else
+          ("untargeted" if i % 3 == 1 else "big"))
+         for i in range(30)],
+        "doc_id long, text string, source string")
+    targets = spark.createDataFrame(
+        [("small", 3.0), ("big", 1.0)],   # un-normalized priorities
+        "source string, target_share double")
+    out = {r["source"]: r.asDict()
+           for r in mixing_weights(docs, targets, budget_tokens=10_000,
+                                   max_epochs=2.0).collect()}
+    assert abs(out["small"]["target_share"] - 0.75) < 1e-9
+    assert abs(out["big"]["target_share"] - 0.25) < 1e-9
+    # small: desired 7500 tokens >> available (10 docs * 11 tok) -> cap
+    assert out["small"]["epochs"] == 2.0
+    assert out["small"]["realized_tok"] == 2 * out["small"]["available_tok"]
+    assert out["small"]["realized_tok"] < out["small"]["desired_tok"]
+    # big is under-demanded -> uncapped, realized == desired (rounded)
+    assert out["big"]["epochs"] < 2.0
+    assert abs(out["big"]["realized_tok"] - out["big"]["desired_tok"]) <= 1
+    # untargeted mixes at zero
+    assert out["untargeted"]["target_share"] == 0.0
+    assert out["untargeted"]["epochs"] == 0.0
+    assert out["untargeted"]["realized_tok"] == 0
+    assert abs(sum(r["realized_share"] for r in out.values()) - 1.0) < 1e-6

@@ -331,3 +331,57 @@ def length_stats(docs: DataFrame, by: str = "source",
                     F.col("_pct")[0].cast("double").alias("p50_tok"),
                     F.col("_pct")[1].cast("double").alias("p90_tok"),
                     F.col("_pct")[2].cast("double").alias("p99_tok")))
+
+
+def mixing_weights(docs: DataFrame, targets: DataFrame,
+                   budget_tokens: int, max_epochs: float = 4.0,
+                   by: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Static source-mixture planning — the step that turns a curated
+    corpus into a training mixture: given per-source target shares and
+    a total token budget, compute per-source sampling epochs capped at
+    max_epochs (the standard guard against over-repeating a small
+    source) and the realized token counts/shares after capping.
+
+    targets is a (by, target_share) table; shares are normalized
+    in-operator so callers can pass un-normalized priorities. Sources
+    missing from targets mix at share 0 (epochs 0); desired tokens =
+    budget * share, epochs = min(desired / available, max_epochs),
+    realized = round(epochs * available).
+
+    100 TB shape: ONE aggregation over the corpus (per-source token
+    sums — a handful of output rows), targets and the two scalar
+    totals broadcast; no window, no second corpus pass. The per-doc
+    sampling step downstream is a broadcast join of these weights onto
+    the corpus (same shape as sampling.stratified_sample).
+    """
+    ntok = F.size(_toks(text_col)).cast("bigint")
+    avail = (docs.groupBy(by)
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(ntok).alias("available_tok")))
+    tshare = targets.select(F.col(by), F.col("target_share")
+                            .cast("double").alias("_raw"))
+    tot_raw = tshare.agg(F.sum("_raw").alias("_tot"))
+    tshare = (tshare.crossJoin(F.broadcast(tot_raw))
+              .select(by, (F.col("_raw") / F.col("_tot"))
+                      .alias("target_share")))
+    mixed = (avail.join(F.broadcast(tshare), by, "left")
+             .withColumn("target_share",
+                         F.coalesce("target_share", F.lit(0.0)))
+             .withColumn("desired_tok",
+                         F.col("target_share") * F.lit(float(budget_tokens)))
+             .withColumn("epochs",
+                         F.round(F.least(
+                             F.col("desired_tok") / F.col("available_tok"),
+                             F.lit(float(max_epochs))), 6))
+             .withColumn("realized_tok",
+                         F.round(F.col("epochs")
+                                 * F.col("available_tok")).cast("bigint")))
+    tot_real = mixed.agg(F.sum("realized_tok").alias("_rt"))
+    return (mixed.crossJoin(F.broadcast(tot_real))
+            .select(by, "n_docs", "available_tok",
+                    F.round("target_share", 6).alias("target_share"),
+                    F.round("desired_tok", 2).alias("desired_tok"),
+                    "epochs", "realized_tok",
+                    F.round(F.col("realized_tok") / F.col("_rt"), 6)
+                    .alias("realized_share")))

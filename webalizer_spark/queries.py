@@ -1766,6 +1766,59 @@ def doc_length_stats(spark, sf):
     return length_stats(_t(spark, sf, "documents"), by="source")
 
 
+@qu("doc_mixing", """
+WITH avail AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available_tok
+  FROM documents GROUP BY 1
+),
+raw AS (
+  SELECT source,
+         CAST((CAST(substr(source, 4) AS INT) % 5) + 1 AS DOUBLE) AS r
+  FROM (SELECT DISTINCT source FROM documents)
+),
+tshare AS (
+  SELECT source, r / (SELECT SUM(r) FROM raw) AS target_share FROM raw
+),
+mixed AS (
+  SELECT a.source, a.n_docs, a.available_tok,
+         COALESCE(t.target_share, 0.0) AS target_share,
+         COALESCE(t.target_share, 0.0) * 1000000.0 AS desired_tok,
+         ROUND(LEAST(COALESCE(t.target_share, 0.0) * 1000000.0
+                     / a.available_tok, 4.0), 6) AS epochs
+  FROM avail a LEFT JOIN tshare t ON a.source = t.source
+),
+real AS (
+  SELECT *, CAST(ROUND(epochs * available_tok) AS BIGINT) AS realized_tok
+  FROM mixed
+)
+SELECT source, n_docs, available_tok,
+       ROUND(target_share, 6) AS target_share,
+       ROUND(desired_tok, 2) AS desired_tok, epochs, realized_tok,
+       ROUND(CAST(realized_tok AS DOUBLE)
+             / (SELECT SUM(realized_tok) FROM real), 6) AS realized_share
+FROM real
+""")
+def doc_mixing(spark, sf):
+    """Source-mixture planning (ungraded): per-source sampling epochs
+    for a 1M-token budget under non-uniform target shares (priority
+    (source_id % 5) + 1, normalized) with the standard max-epochs=4
+    over-repetition cap — quality.mixing_weights, the one-aggregation
+    mixture planner. The oracle re-derives availability, share
+    normalization, the capped epoch rule and both share totals in
+    SQL; scalar totals are broadcast in the Spark plan (no global
+    window, the engine-wide with_share recipe)."""
+    from webalizer_spark.operators.quality import mixing_weights
+
+    d = _t(spark, sf, "documents")
+    targets = (d.select("source").distinct()
+               .select("source",
+                       ((F.substring("source", 4, 10).cast("int") % 5) + 1)
+                       .cast("double").alias("target_share")))
+    return mixing_weights(d, targets, budget_tokens=1_000_000,
+                          max_epochs=4.0)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation. The driver's CORRECTNESS artifact covers the
 # first 50 registered queries (round-2 verdict: the 11 newest were invisible
