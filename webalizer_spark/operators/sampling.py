@@ -132,3 +132,34 @@ def pack_sequences(df: DataFrame, budget: int,
                         F.col(token_col).cast("long")) \
         .mapInPandas(pack, schema=schema)
     return df.join(packed.select(id_col, "bin_id", "bin_fill"), id_col)
+
+
+def materialize_mixture(df: DataFrame, weights: DataFrame,
+                        by: str = "source", key_col: str = "doc_id",
+                        salt: str = "mix") -> DataFrame:
+    """Execute a mixture plan (the downstream half of
+    quality.mixing_weights): weights is a (by, epochs) table; every row
+    is emitted floor(epochs) times plus one more when its deterministic
+    hash fraction falls below frac(epochs) — so a source at epochs=2.3
+    repeats every doc twice and an unbiased, reproducible 30% of docs
+    a third time. Adds `copy` (1..n); epochs 0 rows drop.
+
+    Same hashing convention as stratified_sample (md5 the stratum into
+    the key so each source draws an independent fractional subset).
+    100 TB shape: the plan table is tiny -> broadcast join; duplication
+    is explode(sequence(..)) — a NARROW op, no corpus shuffle; the
+    output feeds pack_sequences' one hash-partition pass.
+    """
+    w = weights.select(F.col(by), F.col("epochs").cast("double"))
+    b = _bucket(F.concat_ws("|", F.md5(F.col(by).cast("string")),
+                            F.col(key_col).cast("string")), salt)
+    frac_thresh = F.round((F.col("epochs") - F.floor("epochs"))
+                          * _BUCKETS).cast("bigint")
+    n = (F.floor("epochs").cast("int")
+         + F.when(b < frac_thresh, 1).otherwise(0))
+    return (df.join(F.broadcast(w), by, "inner")
+            .withColumn("_n", n)
+            .filter(F.col("_n") > 0)
+            .withColumn("copy",
+                        F.explode(F.sequence(F.lit(1), F.col("_n"))))
+            .drop("_n", "epochs"))

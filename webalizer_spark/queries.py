@@ -1819,6 +1819,63 @@ def doc_mixing(spark, sf):
                           max_epochs=4.0)
 
 
+@qu("doc_mixture_rows", """
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS available_tok
+  FROM documents GROUP BY 1
+),
+raw AS (
+  SELECT source,
+         CAST((CAST(substr(source, 4) AS INT) % 5) + 1 AS DOUBLE) AS r
+  FROM (SELECT DISTINCT source FROM documents)
+),
+mixed AS (
+  SELECT a.source,
+         ROUND(LEAST(t.r / (SELECT SUM(r) FROM raw) * 60000.0
+                     / a.available_tok, 2.5), 6) AS epochs
+  FROM avail a JOIN raw t ON a.source = t.source
+),
+perdoc AS (
+  SELECT d.doc_id, d.source, m.epochs,
+         CAST(('0x' || substr(md5('mix|' || md5(d.source) || '|'
+                              || CAST(d.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS b
+  FROM documents d JOIN mixed m ON d.source = m.source
+),
+n AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(epochs) AS INT)
+         + CASE WHEN b < CAST(ROUND((epochs - FLOOR(epochs)) * 1000000)
+                             AS BIGINT) THEN 1 ELSE 0 END AS copies
+  FROM perdoc
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, copies)) AS INT) AS copy
+FROM n WHERE copies > 0
+""")
+def doc_mixture_rows(spark, sf):
+    """Mixture EXECUTION (ungraded): the materialized training mix for
+    a 60k-token budget under the doc_mixing target rule with
+    max_epochs=2.5 — every doc duplicated floor(epochs) times plus a
+    deterministic-hash fractional draw (sampling.materialize_mixture,
+    fed by quality.mixing_weights). The oracle re-derives the plan,
+    the per-doc hash fraction and the generate_series duplication
+    independently; the budget is sized so the fixture exercises whole
+    copies, fractional draws AND the epoch cap in one table."""
+    from webalizer_spark.operators.quality import mixing_weights
+    from webalizer_spark.operators.sampling import materialize_mixture
+
+    d = _t(spark, sf, "documents")
+    targets = (d.select("source").distinct()
+               .select("source",
+                       ((F.substring("source", 4, 10).cast("int") % 5) + 1)
+                       .cast("double").alias("target_share")))
+    w = mixing_weights(d, targets, budget_tokens=60_000,
+                       max_epochs=2.5).select("source", "epochs")
+    return materialize_mixture(d.select("doc_id", "source"), w)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation. The driver's CORRECTNESS artifact covers the
 # first 50 registered queries (round-2 verdict: the 11 newest were invisible
