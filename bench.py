@@ -57,6 +57,8 @@ HEADLINE = [
     "doc_winnow_fingerprints",
     "doc_span_dedup",
     "doc_lm_ppl",
+    "emb_semdedup_keep",
+    "doc_mixture_rows",
 ]
 
 

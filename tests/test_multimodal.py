@@ -751,3 +751,35 @@ def test_fixture_contains_real_mpeg1(spark, media):
         got = feats[feats["media_id"] == r["media_id"]].iloc[0]
         assert bool(got["ok"])
         assert got["decoded_shape"] == "x".join(map(str, shape))
+
+
+def test_mpeg1_property_closed_loop():
+    """Property: for ARBITRARY frame content, dimensions (even, any
+    mod-16 remainder), GOP structure, quantizer and vector mode, the
+    decoder reproduces the encoder's reconstruction bit-exactly —
+    the invariant that makes motion-compensated coding drift-free."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from webalizer_spark.operators.mpeg1 import decode_mpeg1, encode_mpeg1
+
+    @settings(max_examples=12, deadline=None)
+    @given(arrays(np.uint8,
+                  st.tuples(st.integers(2, 5),
+                            st.integers(1, 3).map(lambda v: 2 * v + 12),
+                            st.integers(1, 3).map(lambda v: 2 * v + 12),
+                            st.just(3))),
+           st.integers(1, 4),
+           st.sampled_from([2, 8, 20, 31]),
+           st.booleans())
+    def prop(frames, gop, qscale, full_pel):
+        rec = []
+        bs = encode_mpeg1(frames, qscale=qscale, gop=gop,
+                          recon_out=rec, full_pel=full_pel)
+        dec, shape = decode_mpeg1(bs)
+        assert shape == frames.shape
+        for i in range(frames.shape[0]):
+            assert np.array_equal(dec[i], rec[i])
+
+    prop()

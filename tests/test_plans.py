@@ -181,3 +181,37 @@ def test_report_ranking_is_window_free(spark):
 
     df = QUERIES["tr2_top_tools"](spark, "/root/testdata/sf0.001")
     assert "Window" not in _plan(df)
+
+
+def test_semantic_dedup_cell_equi_join_no_cartesian(spark):
+    """SemDeDup's candidate generation must plan as a cell_id equi-join
+    (centroids broadcast into the assignment; the corpus never
+    cross-joins itself — only the tiny centroid dim may nested-loop)."""
+    from webalizer_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, threshold=0.45, n_cells=4))
+    assert "CartesianProduct" not in plan
+
+
+def test_materialize_mixture_is_narrow(spark):
+    """Mixture execution is narrow over the corpus: the plan table
+    arrives via broadcast joins and duplication is explode(sequence) —
+    the only Exchanges are broadcast/scalar-aggregate sides; the corpus
+    rows themselves never hash-repartition."""
+    from webalizer_spark.operators.sampling import materialize_mixture
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = spark.createDataFrame(
+        [(f"src{i}", 1.5) for i in range(20)],
+        "source string, epochs double")
+    plan = _plan(materialize_mixture(d.select("doc_id", "source"), w))
+    assert "Generate" in plan                  # explode(sequence)
+    assert "BroadcastHashJoin" in plan         # plan table broadcast
+    # corpus side: no hash Exchange between its scan and the output —
+    # every Exchange in the plan is a broadcast one (the plan-table
+    # aggregation sits on the broadcast side)
+    import re
+    for line in plan.splitlines():
+        if re.search(r"Exchange hashpartitioning", line):
+            raise AssertionError(f"corpus hash shuffle in plan: {line}")
