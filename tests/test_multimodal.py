@@ -783,3 +783,55 @@ def test_mpeg1_property_closed_loop():
             assert np.array_equal(dec[i], rec[i])
 
     prop()
+
+
+def test_audio_features_match_local_dsp(spark, media):
+    """audio_features' RMS / zero-crossing rate / spectral centroid
+    match a local numpy re-derivation on real WAV and FLAC rows (true
+    header sample rate), the fake container falls back to the metadata
+    rate, and corrupt payloads route as ok=false."""
+    from pyspark.sql import functions as F
+
+    from webalizer_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    af = audio_features(media).toPandas().set_index("media_id")
+    rows = media.filter("kind = 'audio'") \
+        .select("media_id", "payload", "sample_rate").collect()
+    assert len(af) == len(rows) and af["ok"].all()
+    checked_wav = checked_flac = 0
+    for r in rows:
+        raw = bytes(r["payload"])
+        if raw[:4] == b"RIFF":
+            s, sr = decode_wav(raw)
+            checked_wav += 1
+        elif raw[:4] == b"fLaC":
+            from webalizer_spark.operators.flac import decode_flac
+            s, sr = decode_flac(raw)
+            checked_flac += 1
+        else:
+            assert af.loc[r["media_id"], "sample_rate"] == r["sample_rate"]
+            continue
+        got = af.loc[r["media_id"]]
+        x = s.astype(np.float64)
+        assert got["sample_rate"] == sr
+        assert abs(got["rms"] - round(float(np.sqrt((x ** 2).mean())), 6)) \
+            < 1e-9
+        sgn = np.sign(x)
+        sgn[sgn == 0] = 1
+        assert abs(got["zcr"]
+                   - round(float((sgn[1:] != sgn[:-1]).mean()), 6)) < 1e-9
+        mag = np.abs(np.fft.rfft(x))
+        cent = float((mag * np.fft.rfftfreq(len(x), 1.0 / sr)).sum()
+                     / mag.sum())
+        assert abs(got["centroid_hz"] - round(cent, 6)) < 1e-6
+        assert got["peak"] == int(np.abs(s).max())
+    assert checked_wav > 0 and checked_flac > 0
+
+    corrupted = media.withColumn(
+        "payload", F.when(F.col("kind") == "audio",
+                          F.lit(b"RIFFxxxxWAVE")).otherwise(F.col("payload")))
+    bad = audio_features(corrupted).toPandas()
+    assert (~bad["ok"]).all() and bad["rms"].isna().all()
