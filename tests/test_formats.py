@@ -206,3 +206,37 @@ def test_json_from_json_runs_once_per_row(spark):
         .optimizedPlan().toString()
     assert plan.count("from_json") == 1, plan
 
+
+
+def test_alb_lines_parse(spark):
+    """AWS ALB access logs: listener-type detection, client ip from
+    client:port, verb/path from the quoted ABSOLUTE URL (query kept,
+    authority stripped), the ELB's own status on 503-without-target
+    lines, sent_bytes, quoted agents with spaces, trailing
+    cipher/ARN/trace fields ignored, truncated lines -> all-NULL."""
+    lines = [
+        ('http 2024-01-02T10:20:30.186641Z app/lb/50dc 10.0.3.7:2817 '
+         '10.0.0.1:80 0.000 0.001 0.000 200 200 34 366 '
+         '"GET http://www.example.com:80/cart/e7?q=3 HTTP/1.1" '
+         '"curl/7.46.0" - - arn:aws:elb:x "Root=1-abc" "-" "-" 0 '
+         '2024-01-02T10:20:29.3Z "forward" "-" "-" "10.0.0.1:80" '
+         '"200" "-" "-"',
+         dict(actor="10.0.3.7", verb="GET", path="/cart/e7?q=3",
+              status_text="200", bytes_text="366", dt_text="2024-01-02T10:20:30",
+              agent_str="curl/7.46.0", referrer=None)),
+        # target never responded: '-' target, -1 times, ELB's own 503
+        ('https 2024-01-02T10:20:31.000001Z app/lb/50dc 10.0.3.8:443 '
+         '- -1 -1 -1 503 - 10 0 "POST https://ex.com:443/ HTTP/2.0" '
+         '"Mozilla/5.0 (X11; Linux)" ECDHE-RSA TLSv1.2',
+         dict(actor="10.0.3.8", verb="POST", path="/", status_text="503",
+              bytes_text="0", agent_str="Mozilla/5.0 (X11; Linux)")),
+        ('h2 2024-01-02T10:bad truncated',
+         dict(actor=None, verb=None, path=None, status_text=None)),
+    ]
+    df = spark.createDataFrame([(l,) for l, _ in lines], "text string")
+    rows = {r["text"]: r for r in apply_grok_multi(df).collect()}
+    for line, fields in lines:
+        r = rows[line]
+        assert r["log_format"] == "alb", line[:40]
+        for k, v in fields.items():
+            assert r[k] == v, f"alb.{k}: {r[k]!r} != {v!r}"

@@ -29,7 +29,7 @@ def test_ungraded_split_and_redact_match_duckdb(spark):
     for name in ("doc_hash_split", "doc_redact",
                  "doc_repetition", "doc_decontam",
                  "doc_span_dedup", "doc_lm_ppl", "doc_length_stats",
-                 "tr2_json", "emb_semdedup_keep", "doc_mixing",
+                 "tr2_json", "tr2_alb", "emb_semdedup_keep", "doc_mixing",
                  "doc_mixture_rows"):
         sdf = UNGRADED[name](spark, SF).toPandas()
         odf = con.sql(UNGRADED_ORACLE[name]).df()

@@ -25,6 +25,10 @@ Format grammars (transcript-domain analogs of the reference's):
              (FTP xferlog shape [parser.c ƒparse_record_ftp])
   w3c        #Fields:-driven, space-separated, field order per file
              [parser.c ƒparse_record_w3c] — see w3c_field_order().
+  json       structured JSON-lines (nginx/Envoy vocabularies) — a
+             modern-collector extension beyond the reference's four.
+  alb        AWS ALB/ELB access logs (type + ISO time + client:port +
+             quoted absolute-URL request) — same extension rationale.
 """
 
 from __future__ import annotations
@@ -57,7 +61,8 @@ def detect_format(text: Column, default: str = "combined") -> Column:
     combined lines start with three tokens then '['; squid lines start
     with an epoch.millis number; xferlog lines start with a weekday
     name; w3c lines are '#' directives or start with an ISO date;
-    structured (JSON-lines) logs start with '{'. One rlike each on a
+    structured (JSON-lines) logs start with '{'; ALB lines start with a
+    listener type token then an ISO timestamp. One rlike each on a
     short prefix.
 
     `default` is the class of rows matching NO shape test. The caller
@@ -69,6 +74,8 @@ def detect_format(text: Column, default: str = "combined") -> Column:
     head = F.substring(text, 1, 40)
     return (
         F.when(head.rlike(r"^\s*\{"), F.lit("json"))
+        .when(head.rlike(r"^(https?|h2|grpcs?|wss?) \d{4}-\d{2}-\d{2}T"),
+              F.lit("alb"))
         .when(head.rlike(r"^\d{9,10}\.\d{3}\s"), F.lit("squid"))
         .when(head.rlike(r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun) "), F.lit("xferlog"))
         .when(head.rlike(r"^#(Fields|Version|Date|Software|Remark)"),
@@ -105,6 +112,26 @@ _SQUID_MAP: list[int | str | None] = [4, None, 10, 1, 8, 9, 6, 7, None, None]
 _XFERLOG_MAP: list[int | str | None] = [
     6, None, 13, "$1 $2 $3 $4", None, 8, None, 7, None, None]
 
+# AWS ALB/ELB access log: type, ISO time, elb name, client:port,
+# target:port, three processing times, elb + target status, received +
+# sent bytes, quoted request (absolute URL — the path capture starts at
+# the first '/' after the authority), quoted user-agent; trailing
+# fields (ciphers, ARNs, trace ids) are ignored. The reference predates
+# cloud load balancers — this widens its LogType dispatch [parser.c
+# ƒparse_record] the same way the JSON-lines branch does.
+ALB_PATTERN = (
+    r"^(\S+) (\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\.\d+Z (\S+)"
+    r" ([^\s:]+):\d+ (\S+) (\S+) (\S+) (\S+) (\d{3}|-) (\S+) (\d+) (\d+)"
+    r' "(\S+) [a-z0-9]+://[^/\s]+(/[^"\s]*) HTTP/[^"]*" "([^"]*)".*$'
+)
+# groups: 1 type 2 datetime-to-seconds 3 elb 4 client-ip 5 target
+#         6-8 processing times 9 elb-status 10 target-status
+#         11 received 12 sent 13 verb 14 path 15 agent
+# actor <- client ip; status <- the ELB's own code (what the client
+# saw); bytes <- sent_bytes; ALB logs carry no referrer/ident/user
+_ALB_MAP: list[int | str | None] = [4, None, None, 2, 13, 14, 9, 12,
+                                    None, 15]
+
 # per-format to_timestamp pattern for the dt_text produced above;
 # squid is special-cased (epoch seconds, no pattern)
 TS_PATTERNS = {
@@ -113,6 +140,7 @@ TS_PATTERNS = {
     "w3c": "yyyy-MM-dd HH:mm:ss",
     # json also falls back to epoch seconds (parse.py coalesces)
     "json": "yyyy-MM-dd'T'HH:mm:ssX",
+    "alb": "yyyy-MM-dd'T'HH:mm:ss",
 }
 
 # JSON-lines key aliases -> canonical GROK_FIELDS column. Covers the
@@ -267,6 +295,8 @@ def apply_grok_multi(df: DataFrame, text_col: str = "text",
                _pack(src, SQUID_PATTERN, _SQUID_MAP))
         .when(F.col("log_format") == "xferlog",
               _pack(src, XFERLOG_PATTERN, _XFERLOG_MAP))
+        .when(F.col("log_format") == "alb",
+              _pack(src, ALB_PATTERN, _ALB_MAP))
         .when(F.col("log_format") == "json", _pack_json(src))
     )
     if w3c_fields is not None:

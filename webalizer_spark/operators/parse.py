@@ -116,6 +116,8 @@ def parse_transcripts_multi(
                                  F.lit(TS_PATTERNS["xferlog"])))
         .when(fmt == "w3c",
               F.try_to_timestamp(F.col("dt_text"), F.lit(TS_PATTERNS["w3c"])))
+        .when(fmt == "alb",
+              F.try_to_timestamp(F.col("dt_text"), F.lit(TS_PATTERNS["alb"])))
         .when(fmt == "json",
               # ISO-8601 first (nginx time_iso8601), epoch-seconds
               # fallback (collectors that emit "ts": 1705399200)

@@ -833,6 +833,111 @@ def tr2_json(spark, sf):
         "status", "nbytes", "ts_text", "agent_str", "referrer", "parse_ok")
 
 
+def _synth_alb(spark, sf):
+    """events -> AWS ALB access-log lines: alternating http/https/h2
+    listener types, microsecond ISO timestamps, client:port, the
+    503-without-target '- -1' shape on error rows, absolute-URL quoted
+    requests (half with query strings), '-' agents on every tenth
+    user, trailing cipher/ARN/trace fields the parser must skip, and
+    truncated rows (event_id % 89 == 0) that must route as bad."""
+    ev = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ts = F.date_trunc("second", F.col("ts"))
+    status = (F.when(F.col("event_type") == "error", F.lit(500) + eid % 4)
+              .otherwise(F.lit(200) + (eid % 2) * 100)).cast("int")
+    nbytes = F.floor(F.col("value") * 100).cast("long")
+    ip = F.concat(F.lit("10."), s(uid % 200), F.lit("."), s(uid % 250),
+                  F.lit("."), s(uid % 97))
+    path = F.concat(F.lit("/"), F.col("event_type"), F.lit("/e"),
+                    s(eid % 100),
+                    F.when(eid % 2 == 0,
+                           F.concat(F.lit("?q="), s(eid % 13)))
+                    .otherwise(F.lit("")))
+    verb = F.when(eid % 3 == 0, F.lit("GET")) \
+        .when(eid % 3 == 1, F.lit("POST")).otherwise(F.lit("PUT"))
+    agent = F.when(uid % 10 == 0, F.lit("-")).otherwise(
+        F.concat(F.lit("agent/"), s(eid % 4), F.lit(" (Linux; x86)")))
+    ltype = F.when(eid % 3 == 0, F.lit("http")) \
+        .when(eid % 3 == 1, F.lit("https")).otherwise(F.lit("h2"))
+    target = F.when(F.col("event_type") == "error", F.lit("- -1 -1 -1")) \
+        .otherwise(F.lit("10.1.0.1:80 0.000 0.001 0.000"))
+    line = F.concat(
+        ltype, F.lit(" "),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.format_string(".%06dZ", eid % 1000000),
+        F.lit(" app/lb1/50dc6c495c0c9188 "),
+        ip, F.lit(":"), s(F.lit(20000) + eid % 10000), F.lit(" "),
+        target, F.lit(" "), s(status),
+        F.when(F.col("event_type") == "error", F.lit(" -"))
+        .otherwise(F.concat(F.lit(" "), s(status))),
+        F.lit(" 34 "), s(nbytes), F.lit(' "'),
+        verb, F.lit(" "),
+        F.when(eid % 3 == 1, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://www.site"), s(eid % 7), F.lit(".example:80"),
+        path, F.lit(' HTTP/1.1" "'), agent,
+        F.lit('" ECDHE-RSA-AES128 TLSv1.2 arn:aws:x "Root=1-abc" "-" "-"'))
+    line = F.when(eid % 89 == 0,
+                  F.lit("h2 2024-01-02T10:bad truncated")).otherwise(line)
+    return ev.select(
+        F.concat(F.lit("c"), s(eid % 1000)).alias("conv_id"),
+        eid.cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        line.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        ts.alias("ts"))
+
+
+@qu("tr2_alb", """
+WITH base AS (
+  SELECT event_id, user_id, date_trunc('second', ts) AS ts2, event_type,
+         CAST(CASE WHEN event_type = 'error' THEN 500 + event_id % 4
+              ELSE 200 + (event_id % 2) * 100 END AS INT) AS status,
+         CAST(FLOOR(value * 100) AS BIGINT) AS nbytes
+  FROM events
+)
+SELECT event_id, 'alb' AS log_format,
+       CASE WHEN event_id % 89 = 0 THEN NULL
+            ELSE '10.' || (user_id % 200) || '.' || (user_id % 250)
+                 || '.' || (user_id % 97) END AS actor,
+       CAST(NULL AS VARCHAR) AS auth_user,
+       CASE WHEN event_id % 89 = 0 THEN NULL
+            WHEN event_id % 3 = 0 THEN 'GET'
+            WHEN event_id % 3 = 1 THEN 'POST' ELSE 'PUT' END AS verb,
+       CASE WHEN event_id % 89 = 0 THEN NULL
+            ELSE '/' || event_type || '/e' || (event_id % 100)
+                 || CASE WHEN event_id % 2 = 0
+                         THEN '?q=' || (event_id % 13) ELSE '' END
+       END AS path,
+       CASE WHEN event_id % 89 = 0 THEN NULL ELSE status END AS status,
+       CASE WHEN event_id % 89 = 0 THEN NULL ELSE nbytes END AS nbytes,
+       CASE WHEN event_id % 89 = 0 THEN NULL ELSE ts2 END AS ts_text,
+       CAST(NULL AS VARCHAR) AS referrer,
+       CASE WHEN event_id % 89 = 0 OR user_id % 10 = 0 THEN NULL
+            ELSE 'agent/' || (event_id % 4) || ' (Linux; x86)'
+       END AS agent_str,
+       event_id % 89 <> 0 AS parse_ok
+FROM base
+""")
+def tr2_alb(spark, sf):
+    """S2 ALB oracle (ungraded; graded window capped at 50): the AWS
+    ALB/ELB access-log parse path end-to-end — listener-type shape
+    detection, client-ip extraction from client:port, path from the
+    quoted ABSOLUTE URL (query string kept, authority stripped), the
+    ELB's own status code on 503-without-target rows, microsecond
+    timestamps truncated to seconds, '-' agents nullified, trailing
+    cipher/ARN/trace fields skipped, truncated rows routed as bad.
+    The oracle re-derives every field from the same events source with
+    no regex involved."""
+    from webalizer_spark.operators.parse import parse_transcripts_multi
+
+    p = parse_transcripts_multi(_synth_alb(spark, sf))
+    return p.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        "log_format", "actor", "auth_user", "verb", "path",
+        "status", "nbytes", "ts_text", "agent_str", "referrer", "parse_ok")
+
+
 # Re-apply the priority reorder + 50-row guard now that the tr2_* rows
 # exist. Required on the queries_synth-first import path (the driver's
 # __spark_entry__): the circular import runs queries.py's bottom while
