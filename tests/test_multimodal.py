@@ -827,7 +827,8 @@ def test_audio_features_match_local_dsp(spark, media):
         cent = float((mag * np.fft.rfftfreq(len(x), 1.0 / sr)).sum()
                      / mag.sum())
         assert abs(got["centroid_hz"] - round(cent, 6)) < 1e-6
-        assert got["peak"] == int(np.abs(s).max())
+        # |peak| on the float copy (np.abs overflows on int16 -32768)
+        assert got["peak"] == int(np.abs(x).max())
     assert checked_wav > 0 and checked_flac > 0
 
     corrupted = media.withColumn(
@@ -835,3 +836,30 @@ def test_audio_features_match_local_dsp(spark, media):
                           F.lit(b"RIFFxxxxWAVE")).otherwise(F.col("payload")))
     bad = audio_features(corrupted).toPandas()
     assert (~bad["ok"]).all() and bad["rms"].isna().all()
+
+
+def test_audio_peak_full_scale_negative(spark):
+    """Regression: a WAV containing int16 -32768 must report peak 32768
+    (np.abs on the int16 array overflows to -32768; the operator
+    computes |peak| on the float copy)."""
+    from webalizer_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    s = np.array([-32768, 100, -5], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, "audio", encode_wav_pcm16(s, 8000), 0, 0, 8000, 1)],
+        "media_id long, kind string, payload binary, width int,"
+        " height int, sample_rate int, n_frames int")
+    got = audio_features(df).toPandas().iloc[0]
+    assert bool(got["ok"]) and got["peak"] == 32768
+
+
+def test_mpeg1_chroma_halving_truncates_toward_zero():
+    """Regression: the luma->chroma vector rule truncates toward zero
+    (ISO 11172-2), not floor — _half(-3) is -1, not -2."""
+    from webalizer_spark.operators.mpeg1 import _half
+
+    assert [_half(v) for v in (-3, -2, -1, 0, 1, 2, 3)] \
+        == [-1, -1, 0, 0, 0, 1, 1]

@@ -35,8 +35,6 @@ enter a shuffle.
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 from webalizer_spark.operators.jpeg import _DCT, _ZZ
@@ -161,7 +159,6 @@ def _invert(codes: dict) -> dict:
 _MBA_DEC = _invert(_MBA_CODES)
 _MBA_DEC[_MBA_ESCAPE] = "escape"
 _MBA_DEC[_MBA_STUFF] = "stuff"
-_MBTYPE_P_DEC = _MBTYPE_P           # already code->flags
 _MOTION_DEC = _invert(_MOTION_CODES)
 _CBP_DEC = _invert(_CBP_CODES)
 _DC_Y_DEC = _invert(_DC_SIZE_Y)
@@ -379,6 +376,13 @@ def _put_block_rle(bw: _BW, levels_zz: np.ndarray, first_nonintra: bool) -> None
     bw.code(_EOB)
 
 
+def _half(v: int) -> int:
+    """Halve a motion vector with truncation TOWARD ZERO — the ISO
+    11172-2 luma->chroma vector rule (Python's // floors, which is
+    wrong for negative odd vectors)."""
+    return v // 2 if v >= 0 else -((-v) // 2)
+
+
 def _wrap_mv(diff: int) -> int:
     """Wrap a vector differential into [-16, 15] (f_code=1 modulus 32)."""
     while diff > 15:
@@ -496,10 +500,6 @@ def _recon_intra_block(dc: int, ac_zz: np.ndarray, qscale: int) -> np.ndarray:
     return np.clip(np.round(_idct(coef)), 0, 255).astype(np.uint8)
 
 
-def _code_residual(bw_levels: np.ndarray) -> bool:
-    return bool(np.any(bw_levels))
-
-
 def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
                  search: int = 7, recon_out: list | None = None,
                  full_pel: bool = True) -> bytes:
@@ -615,8 +615,8 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
                                 sad = int(np.abs(cur32 - cand).sum())
                                 if sad < sad_mc:
                                     sad_mc, vy2, vx2 = sad, cy2, cx2
-                    mv_y = vy2 // 2 if full_pel else vy2
-                    mv_x = vx2 // 2 if full_pel else vx2
+                    mv_y = _half(vy2) if full_pel else vy2
+                    mv_x = _half(vx2) if full_pel else vx2
                     intra_cost = int(np.abs(
                         cur32 - int(cur32.mean())).sum())
                     use_intra = intra_cost + 500 < sad_mc
@@ -627,9 +627,9 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
                     # residuals on all six blocks under the chosen vector
                     pred_yb = _predict(ref_y, py, px, 16, 16, vy2, vx2)
                     pred_cbb = _predict(ref_cb, cy, cx, 8, 8,
-                                        vy2 // 2, vx2 // 2)
+                                        _half(vy2), _half(vx2))
                     pred_crb = _predict(ref_cr, cy, cx, 8, 8,
-                                        vy2 // 2, vx2 // 2)
+                                        _half(vy2), _half(vx2))
                     blocks = []
                     for byy in (0, 8):
                         for bxx in (0, 8):
@@ -974,8 +974,8 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                 scale2 = 2 if full_pel else 1
                 pyb = _predict(ref_y, py, px, 16, 16,
                                scale2 * mv_y, scale2 * mv_x)
-                cvy = scale2 * mv_y // 2 if not full_pel else mv_y
-                cvx = scale2 * mv_x // 2 if not full_pel else mv_x
+                cvy = _half(scale2 * mv_y)
+                cvx = _half(scale2 * mv_x)
                 pcb = _predict(ref_cb, cy, cx, 8, 8, cvy, cvx)
                 pcr = _predict(ref_cr, cy, cx, 8, 8, cvy, cvx)
                 cbp = br.vlc(_CBP_DEC, "coded_block_pattern",

@@ -313,7 +313,8 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     (i%6==2), REAL MJPEG AVIs (i%12==5), REAL ANIMATED GIFs
     (i%24==11), REAL INTER-FRAME FLCs (i%48==23 — DELTA_FLC coded
     frames) or REAL MOTION-COMPENSATED MPEG-1 streams (i%96==47 —
-    I/P pictures, alternating full-pel/half-pel vectors by row parity),
+    I/P pictures, alternating full-pel/half-pel vectors by fixture
+    block — i//96 parity),
     with i%96==95 on the self-describing fake container (standing in
     for modern entropy-coded codecs and keeping that branch
     fixture-covered); the i%96==45 image row is a REAL PROGRESSIVE
@@ -382,8 +383,10 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
                                 dtype=np.uint8)
             fr = np.stack([base[fi, fi % 8:fi % 8 + h2,
                                 fi % 8:fi % 8 + w2] for fi in range(nf)])
+            # i%96==47 is always odd, so parity can't alternate the
+            # vector mode — alternate by fixture block instead
             payload = encode_mpeg1(fr, qscale=8, gop=4,
-                                   full_pel=bool(i % 2))
+                                   full_pel=bool((i // 96) % 2))
         elif kind == "video" and i % 48 == 23:
             from webalizer_spark.operators.flic import encode_flc
             base = rng.integers(0, 256, (h, w), dtype=np.uint8)
@@ -575,6 +578,24 @@ def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
     return media.mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+def decode_audio(payload: bytes,
+                 meta_sr: int | None = None) -> tuple[np.ndarray, int]:
+    """Audio-payload dispatch returning (samples, sample_rate) — the
+    one place the audio magic-sniff lives (decode_media drops the
+    header rate, which feature extraction needs). The fake container
+    has no header rate; meta_sr supplies the metadata column's value
+    there (required in that case)."""
+    if payload[:4] == b"RIFF" and payload[8:12] != b"AVI ":
+        return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from webalizer_spark.operators.flac import decode_flac
+        return decode_flac(payload)
+    s, _shape = decode_media(payload, "audio")
+    if meta_sr is None:
+        raise ValueError("fake-container audio needs the metadata rate")
+    return s, int(meta_sr)
+
+
 AUDIO_FEATURE_SCHEMA = (
     "media_id bigint, ok boolean, n_samples bigint, sample_rate int,"
     " rms double, zcr double, centroid_hz double, peak int"
@@ -601,17 +622,7 @@ def audio_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
                 if kind != "audio":
                     continue
                 try:
-                    raw = bytes(payload)
-                    if raw[:4] == b"RIFF" and raw[8:12] != b"AVI ":
-                        s, sr = decode_wav(raw)
-                    elif raw[:4] == b"fLaC":
-                        from webalizer_spark.operators.flac import (
-                            decode_flac,
-                        )
-                        s, sr = decode_flac(raw)
-                    else:
-                        s, _shape = decode_media(raw, "audio")
-                        sr = int(meta_sr)
+                    s, sr = decode_audio(bytes(payload), int(meta_sr))
                     x = s.astype(np.float64)
                     n = len(x)
                     rms = float(np.sqrt((x ** 2).mean())) if n else 0.0
@@ -619,15 +630,20 @@ def audio_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
                     sgn[sgn == 0] = 1
                     zcr = (float((sgn[1:] != sgn[:-1]).mean())
                            if n > 1 else 0.0)
-                    mag = np.abs(np.fft.rfft(x))
-                    freqs = np.fft.rfftfreq(n, d=1.0 / sr) if n else []
-                    tot = float(mag.sum())
-                    cent = (float((mag * freqs).sum() / tot)
-                            if n and tot > 0 else 0.0)
+                    if n:
+                        mag = np.abs(np.fft.rfft(x))
+                        freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                        tot = float(mag.sum())
+                        cent = (float((mag * freqs).sum() / tot)
+                                if tot > 0 else 0.0)
+                    else:
+                        cent = 0.0
+                    # |peak| on the float copy: np.abs overflows on
+                    # int16(-32768)
+                    peak = int(np.abs(x).max()) if n else 0
                     out.append((int(mid), True, n, int(sr),
                                 round(rms, 6), round(zcr, 6),
-                                round(cent, 6), int(np.abs(s).max())
-                                if n else 0))
+                                round(cent, 6), peak))
                 except Exception:  # noqa: BLE001 — corrupt -> errors row
                     out.append((int(mid), False, None, None, None, None,
                                 None, None))
