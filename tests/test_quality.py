@@ -239,3 +239,37 @@ def test_mixing_weights_semantics(spark):
     assert out["untargeted"]["epochs"] == 0.0
     assert out["untargeted"]["realized_tok"] == 0
     assert abs(sum(r["realized_share"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_matches_dense_reference(spark):
+    """PageRank on a small graph matches a dense numpy power iteration
+    with dangling redistribution (tolerance covers the operator's 6dp
+    contribution rounding), total mass stays ~1, and a dangling node
+    still receives and donates rank."""
+    import numpy as np
+
+    from webalizer_spark.operators.quality import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("d", "a"), ("c", "e")]          # e: dangling (no out-edges)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, n_iters=8).collect()}
+
+    names = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(names)}
+    n = len(names)
+    out = np.zeros(n)
+    m = np.zeros((n, n))
+    for s, d in edges:
+        m[idx[d], idx[s]] += 1
+        out[idx[s]] += 1
+    col = np.divide(m, out, out=np.zeros_like(m), where=out > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        dang = r[out == 0].sum()
+        r = (1 - 0.85) / n + 0.85 * (col @ r + dang / n)
+    for name in names:
+        assert abs(got[name] - r[idx[name]]) < 5e-5, name
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    assert got["e"] > (1 - 0.85) / n      # dangling node still scores

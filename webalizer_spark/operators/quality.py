@@ -385,3 +385,116 @@ def mixing_weights(docs: DataFrame, targets: DataFrame,
                     "epochs", "realized_tok",
                     F.round(F.col("realized_tok") / F.col("_rt"), 6)
                     .alias("realized_share")))
+
+
+def tf_idf(docs: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text", min_df: int = 1,
+           smooth: bool = True) -> DataFrame:
+    """Per-(doc, term) TF-IDF weights — the corpus-statistics weighting
+    behind quality filtering, keyword extraction and sparse retrieval.
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) + 1 when smooth
+    (the standard smoothed form — never zero, division-safe) else
+    ln(N/df); weight = tf * idf rounded to 6dp (the engine-wide
+    cross-engine float recipe).
+
+    100 TB shape: tokenize/explode is NARROW; term counts shuffle once
+    on (doc, term) with map-side partial aggregation; document
+    frequencies aggregate the (doc, term) pairs again on term (partial
+    combine — each partition contributes at most one (term, count)
+    fragment); the corpus row count is a scalar aggregate BROADCAST
+    into the idf projection, not a window. min_df prunes the hapax
+    tail BEFORE the tf join, which at web scale removes most of the
+    vocabulary (Zipf) and with it most of the join's right side.
+    """
+    pairs = (docs.select(F.col(id_col),
+                         F.explode(_toks(text_col)).alias("term"))
+             .filter(F.col("term") != "")
+             .groupBy(id_col, "term")
+             .agg(F.count(F.lit(1)).alias("tf")))
+    df_t = (pairs.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= min_df))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("_n"))
+    if smooth:
+        idf = F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    else:
+        idf = F.log(F.col("_n") / F.col("df"))
+    weighted = (pairs.join(df_t, "term")
+                .crossJoin(F.broadcast(n_docs))
+                .select(id_col, "term", "tf", "df",
+                        F.round(F.col("tf") * idf, 6).alias("tfidf")))
+    return weighted
+
+
+def top_terms(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+              text_col: str = "text", min_df: int = 1) -> DataFrame:
+    """Top-k terms per document by TF-IDF (tie-break: term ascending) —
+    keyword extraction over the corpus. The per-doc ranking window
+    partitions on the document id, so unlike a global ranking it scales
+    with no single hot partition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (tf_idf(docs, id_col, text_col, min_df)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "term", "tf", "df", "tfidf"))
+
+
+def pagerank(edges: DataFrame, n_iters: int = 8, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — the canonical
+    iterative graph scorer (link-based quality weighting for crawled
+    corpora). Dangling-node mass (nodes with no out-edges) is
+    redistributed uniformly each iteration, the standard correction.
+
+    Determinism recipe (cross-engine, order-independent): per-edge
+    contributions round to 6dp and sum as DECIMAL(38,6) — exact
+    regardless of aggregation order — then return to double for the
+    rank update; the same recipe as the LM log-prob sum. Output ranks
+    round at 6dp.
+
+    100 TB shape: per iteration ONE shuffle keyed on dst for the
+    contribution aggregate (map-side partial over the decimal sums)
+    plus the broadcast dangling scalar; the rank vector is (node,
+    double) — never the adjacency payload; localCheckpoint every
+    third round truncates the iterative lineage exactly like
+    dedup.dup_components' pointer-jumping loop. Iteration count is
+    FIXED (not convergence-tested) so the result is a deterministic
+    function of the graph.
+    """
+    e = edges.select(F.col(src_col).alias("node"),
+                     F.col(dst_col).alias("dst"))
+    nodes = (e.select("node").union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = e.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.count()          # bounded driver scalar (node count)
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for it in range(n_iters):
+        contrib = (e.join(ranks, "node").join(outdeg, "node")
+                   .select("dst",
+                           F.round(F.col("rank") / F.col("deg"), 6)
+                           .cast("decimal(38,6)").alias("_c"))
+                   .groupBy("dst")
+                   .agg(F.sum("_c").cast("double").alias("contrib")))
+        dang = (ranks.join(outdeg, "node", "left_anti")
+                .agg(F.coalesce(
+                    F.sum(F.round(F.col("rank"), 6)
+                          .cast("decimal(38,6)")),
+                    F.lit(0).cast("decimal(38,6)"))
+                    .cast("double").alias("_m")))
+        ranks = (nodes.join(contrib,
+                            nodes["node"] == contrib["dst"], "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select(nodes["node"],
+                         ((1.0 - damping) / n
+                          + damping * (F.coalesce(F.col("contrib"),
+                                                  F.lit(0.0))
+                                       + F.col("_m") / n)).alias("rank")))
+        if (it + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -1819,6 +1819,113 @@ def doc_mixing(spark, sf):
                           max_epochs=4.0)
 
 
+@qu("doc_tfidf_top", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+pairs AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+dft AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+w AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         ROUND(p.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6)
+             AS tfidf
+  FROM pairs p JOIN dft d ON p.term = d.term, n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM w
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf
+FROM r WHERE rank <= 5 AND doc_id < 100
+""")
+def doc_tfidf_top(spark, sf):
+    """TF-IDF keyword extraction (ungraded): top-5 terms per document
+    by smoothed TF-IDF (quality.tf_idf / top_terms — corpus stats over
+    the FULL table, output filtered to doc_id < 100 AFTER ranking so N
+    and df are corpus-wide). The oracle re-derives term counts,
+    document frequencies, the smoothed idf and the tie-broken ranking
+    independently in SQL; weights round at 6dp per the engine-wide
+    cross-engine float recipe."""
+    from webalizer_spark.operators.quality import top_terms
+
+    return top_terms(_t(spark, sf, "documents"), k=5) \
+        .filter(F.col("doc_id") < 100)
+
+
+def _pagerank_oracle_sql(n_iters: int = 8, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in plain SQL (no recursive
+    aggregation — each iteration is its own CTE chain), mirroring
+    quality.pagerank's decimal-sum determinism recipe term for term.
+    Edge rule: src = 'n' || (user_id % 40), dst = 'n' || (event_id %
+    60), DISTINCT — nodes 40..59 appear only as destinations, so the
+    dangling-mass branch is live."""
+    head = """WITH edges AS (
+  SELECT DISTINCT 'n' || (user_id % 40) AS src,
+         'n' || (event_id % 60) AS dst FROM events
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+outdeg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM edges GROUP BY 1
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    parts = [head]
+    for k in range(n_iters):
+        parts.append(f""",
+c{k} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(ROUND(r.rank / o.deg, 6) AS DECIMAL(38,6)))
+              AS DOUBLE) AS contrib
+  FROM edges e JOIN r{k} r ON e.src = r.node
+  JOIN outdeg o ON o.node = e.src
+  GROUP BY e.dst
+),
+d{k} AS (
+  SELECT CAST(COALESCE(SUM(CAST(ROUND(r.rank, 6) AS DECIMAL(38,6))),
+                       CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS m
+  FROM r{k} r LEFT JOIN outdeg o ON o.node = r.node
+  WHERE o.node IS NULL
+),
+r{k + 1} AS (
+  SELECT n.node,
+         (1.0 - {damping}) / nn.n
+         + {damping} * (COALESCE(c.contrib, 0.0) + d.m / nn.n) AS rank
+  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node, d{k} d, nn
+)""")
+    parts.append(f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{n_iters}""")
+    return "".join(parts)
+
+
+@qu("evt_pagerank", _pagerank_oracle_sql())
+def evt_pagerank(spark, sf):
+    """Fixed-iteration PageRank (ungraded): link-based scoring over a
+    60-node graph derived deterministically from events, with live
+    dangling-node redistribution (nodes 40..59 never appear as
+    sources). The oracle unrolls all 8 iterations in plain SQL and
+    reproduces the operator's decimal-sum determinism recipe, so the
+    doubles agree exactly at every step."""
+    from webalizer_spark.operators.quality import pagerank
+
+    ev = _t(spark, sf, "events")
+    edges = ev.select(
+        F.concat(F.lit("n"), (F.col("user_id") % 40).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("n"), (F.col("event_id") % 60).cast("string"))
+        .alias("dst")).distinct()
+    return pagerank(edges, n_iters=8)
+
+
 @qu("doc_mixture_rows", """
 WITH avail AS (
   SELECT source,
