@@ -1859,6 +1859,22 @@ def doc_tfidf_top(spark, sf):
         .filter(F.col("doc_id") < 100)
 
 
+@qu("doc_bpe_stats")
+def doc_bpe_stats(spark, sf):
+    """Trained-BPE segmentation stats (ungraded, rows-only — BPE merge
+    learning is iterative and not SQL-expressible, the documented
+    weaker check): train 64 merges on the deterministic md5-ordered
+    1024-doc sample, apply corpus-wide, report per-doc word / BPE-token
+    / unmerged-char counts for doc_id < 200. The full semantics are
+    pinned in tests/test_bpe.py against hand-computed merges and an
+    independent sequential-replay encoder."""
+    from webalizer_spark.operators.bpe import bpe_segment, bpe_train_sample
+
+    d = _t(spark, sf, "documents")
+    merges = bpe_train_sample(d, n_merges=64)
+    return bpe_segment(d, merges).filter(F.col("doc_id") < 200)
+
+
 def _pagerank_oracle_sql(n_iters: int = 8, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank in plain SQL (no recursive
     aggregation — each iteration is its own CTE chain), mirroring
