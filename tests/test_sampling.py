@@ -109,3 +109,37 @@ def test_materialize_mixture_rules(spark):
     again = materialize_mixture(docs, weights).toPandas()
     key = lambda df: sorted(map(tuple, df[["doc_id", "copy"]].values))
     assert key(out) == key(again)
+
+
+def test_chunk_documents_semantics_and_plan(spark):
+    """Window math on a hand-built doc (chunk 4, overlap 1, stride 3):
+    12 tokens -> starts 0/3/6/9, last window short; a doc inside one
+    window yields exactly one chunk; empty text yields one ''-chunk;
+    overlapping tokens repeat across adjacent chunks; and the plan has
+    ZERO Exchange (pure higher-order functions + narrow explode)."""
+    from webalizer_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12))),
+         (2, "a b c"),
+         (3, "")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert len([k for k in rows if k[0] == 1]) == 4
+    assert rows[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"   # overlap repeats t3
+    assert rows[(1, 3)]["chunk_text"] == "t9 t10 t11"    # short tail
+    assert rows[(1, 3)]["n_tokens"] == 3
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    assert len([k for k in rows if k[0] == 2]) == 1
+    assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_tokens"] == 1
+
+    import pytest
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+    big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = chunk_documents(big)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan

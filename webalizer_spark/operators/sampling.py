@@ -163,3 +163,44 @@ def materialize_mixture(df: DataFrame, weights: DataFrame,
             .withColumn("copy",
                         F.explode(F.sequence(F.lit(1), F.col("_n"))))
             .drop("_n", "epochs"))
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    training-window prep step between cleaning and packing. Chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens) with stride =
+    chunk_tokens - overlap; the final window is allowed short, and a
+    doc short enough for one window yields exactly one chunk.
+
+    100 TB shape: tokenize, window-count, per-window slice and rebuild
+    are ALL per-row higher-order functions (sequence + transform +
+    slice); the only row-multiplying op is the narrow explode — no
+    shuffle anywhere, the same zero-Exchange contract as
+    quality.ngram_repetition. Output rows are (id, chunk_idx,
+    chunk_text, n_tokens); feed them straight into pack_sequences.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = (F.lit(1) + F.greatest(
+        F.lit(0),
+        F.ceil((n - F.lit(chunk_tokens))
+               / F.lit(float(stride))))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(F.lit(chunk_tokens),
+                    n - i * stride).cast("int").alias("n_tokens")))
+    return (df.select(F.col(id_col), F.explode(chunks).alias("_c"))
+            .select(id_col,
+                    F.col("_c.chunk_idx").alias("chunk_idx"),
+                    F.col("_c.chunk_text").alias("chunk_text"),
+                    F.col("_c.n_tokens").alias("n_tokens")))

@@ -1859,6 +1859,38 @@ def doc_tfidf_top(spark, sf):
         .filter(F.col("doc_id") < 100)
 
 
+@qu("doc_chunks", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n, toks,
+         CAST(1 + GREATEST(0, CEIL((n - 32) / CAST(24 AS DOUBLE)))
+              AS INT) AS n_chunks
+  FROM t
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ')
+           AS chunk_text,
+       CAST(LEAST(32, n - i * 24) AS INT) AS n_tokens
+FROM c, LATERAL (SELECT unnest(range(n_chunks)) AS i) s
+""")
+def doc_chunks(spark, sf):
+    """Document chunking (ungraded): 32-token windows with 8-token
+    overlap (stride 24) over every document — the training-window prep
+    between cleaning and packing (sampling.chunk_documents, a pure
+    higher-order-function pipeline: the only row-multiplying op is the
+    narrow explode, zero Exchange). The oracle re-derives window
+    counts, per-window slices and the rebuilt chunk text with
+    DuckDB list functions."""
+    from webalizer_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"),
+                           chunk_tokens=32, overlap=8)
+
+
 @qu("doc_bpe_stats")
 def doc_bpe_stats(spark, sf):
     """Trained-BPE segmentation stats (ungraded, rows-only — BPE merge
