@@ -273,3 +273,40 @@ def test_pagerank_matches_dense_reference(spark):
         assert abs(got[name] - r[idx[name]]) < 5e-5, name
     assert abs(sum(got.values()) - 1.0) < 1e-3
     assert got["e"] > (1 - 0.85) / n      # dangling node still scores
+
+
+def test_blocklist_filter_and_stats(spark):
+    """Word mode: occurrences (not distinct terms) count, case-folded;
+    filter keeps frac <= threshold inline with zero Exchange and no
+    join. Substring mode flags any term occurring inside the text."""
+    from webalizer_spark.operators.quality import (
+        blocklist_filter,
+        blocklist_stats,
+    )
+
+    docs = _docs(spark, [
+        (1, "Bad bad apple pie"),          # 2/4 hits, case-folded
+        (2, "clean text entirely"),
+        (3, "one bad token here now"),     # 1/5
+        (4, "embedded badge word"),        # 'bad' substring, not a token
+    ])
+    stats = {r["doc_id"]: r for r in
+             blocklist_stats(docs, ["bad"]).collect()}
+    assert stats[1]["blocked_tokens"] == 2 and stats[1]["blocked_frac"] == 0.5
+    assert stats[2]["blocked_tokens"] == 0
+    assert stats[3]["blocked_frac"] == 0.2
+    assert stats[4]["blocked_tokens"] == 0     # token mode: no substring hit
+
+    assert {r["doc_id"] for r in
+            blocklist_filter(docs, ["bad"]).collect()} == {2, 4}
+    assert {r["doc_id"] for r in
+            blocklist_filter(docs, ["bad"], max_frac=0.3).collect()} \
+        == {2, 3, 4}
+    # substring mode catches the embedded term
+    assert {r["doc_id"] for r in
+            blocklist_filter(docs, ["bad"], substring=True).collect()} == {2}
+
+    big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = blocklist_filter(big, ["slow", "hash"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan

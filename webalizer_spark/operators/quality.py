@@ -498,3 +498,55 @@ def pagerank(edges: DataFrame, n_iters: int = 8, damping: float = 0.85,
         if (it + 1) % 3 == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def blocklist_stats(docs: DataFrame, terms: list[str],
+                    id_col: str = "doc_id", text_col: str = "text",
+                    substring: bool = False) -> DataFrame:
+    """Per-doc blocklist pressure — the Gopher/C4-style 'dirty word'
+    metric behind the standard drop rule: token occurrences matching a
+    (case-folded) term list, and their fraction of the doc. substring
+    mode instead flags any term occurring as a substring (the URL/slur
+    variant of the rule). The term list is a bounded config artifact,
+    so it rides the plan as a LITERAL array — per-row higher-order
+    functions only, zero shuffle, no join."""
+    blk = F.array(*[F.lit(t.lower()) for t in terms])
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    if substring:
+        hits = F.size(F.filter(
+            blk, lambda b: F.col(text_col).contains(b)))
+        blocked = F.lit(None).cast("bigint")
+        frac = F.when(hits > 0, 1.0).otherwise(0.0)
+    else:
+        blocked = F.size(F.filter(
+            toks, lambda t: F.array_contains(blk, t))).cast("bigint")
+        frac = F.when(n > 0, blocked / n).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col), n.cast("bigint").alias("n_tokens"),
+        blocked.alias("blocked_tokens"),
+        F.round(frac, 6).alias("blocked_frac"))
+
+
+def blocklist_filter(docs: DataFrame, terms: list[str],
+                     max_frac: float = 0.0, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     substring: bool = False) -> DataFrame:
+    """Keep docs whose blocklist fraction is <= max_frac (default 0 —
+    any hit drops, the strict C4 rule; Gopher-style thresholds pass
+    e.g. 0.05). The predicate evaluates INLINE on each row (no join,
+    no id collection — a keep-set join would move most of the corpus
+    through a broadcast for nothing), so the whole filter is one
+    narrow pass."""
+    blk = F.array(*[F.lit(t.lower()) for t in terms])
+    if substring:
+        frac = F.when(
+            F.size(F.filter(blk, lambda b: F.col(text_col).contains(b)))
+            > 0, 1.0).otherwise(0.0)
+    else:
+        toks = F.split(F.lower(F.col(text_col)), " ")
+        n = F.size(toks)
+        blocked = F.size(F.filter(
+            toks, lambda t: F.array_contains(blk, t)))
+        frac = F.when(n > 0, blocked / n).otherwise(F.lit(0.0))
+    return docs.filter(F.round(frac, 6) <= max_frac)

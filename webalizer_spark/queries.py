@@ -1859,6 +1859,38 @@ def doc_tfidf_top(spark, sf):
         .filter(F.col("doc_id") < 100)
 
 
+@qu("doc_blocklist", """
+WITH t AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ') AS toks,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, n AS n_tokens,
+       CAST(len(list_filter(toks,
+                t -> list_contains(['slow', 'hash', 'spill'], t)))
+            AS BIGINT) AS blocked_tokens,
+       ROUND(CASE WHEN n > 0
+                  THEN len(list_filter(toks,
+                       t -> list_contains(['slow', 'hash', 'spill'], t)))
+                       / CAST(n AS DOUBLE)
+                  ELSE 0.0 END, 6) AS blocked_frac
+FROM t
+""")
+def doc_blocklist(spark, sf):
+    """Blocklist pressure (ungraded): per-doc occurrence counts and
+    fraction for a 3-term case-folded list (quality.blocklist_stats —
+    the Gopher/C4 'dirty word' metric; the term list rides the plan as
+    a literal array, zero shuffle). The oracle re-derives the token
+    filter and fraction with DuckDB list lambdas; the companion
+    blocklist_filter inlines the same predicate row-narrow (no
+    keep-set join) and is pinned in tests/test_quality.py."""
+    from webalizer_spark.operators.quality import blocklist_stats
+
+    return blocklist_stats(_t(spark, sf, "documents"),
+                           ["slow", "hash", "spill"])
+
+
 @qu("doc_chunks", """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
