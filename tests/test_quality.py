@@ -310,3 +310,35 @@ def test_blocklist_filter_and_stats(spark):
     plan = blocklist_filter(big, ["slow", "hash"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_normalize_text_rules(spark):
+    """NFC composes combining sequences, NFKC folds compatibility forms,
+    controls strip while tab/newline collapse as whitespace, `changed`
+    marks only rewritten rows, NULL text passes through, and unknown
+    forms refuse."""
+    import pytest
+
+    from webalizer_spark.operators.quality import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "éclair  stuffed"),        # combining acute + ws run
+         (2, "clean text"),
+         (3, "ctl\x01\x02here"),
+         (4, "ﬁne ligature"),            # ﬁ — NFKC-only fold
+         (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert out[1]["text"] == "éclair stuffed" and out[1]["changed"]
+    assert out[2]["text"] == "clean text" and not out[2]["changed"]
+    assert out[3]["text"] == "ctlhere" and out[3]["changed"]
+    assert out[4]["text"] == "ﬁne ligature"    # NFC keeps ligature
+    assert not out[4]["changed"]
+    assert out[5]["text"] is None and not out[5]["changed"]
+
+    nfkc = {r["doc_id"]: r["text"]
+            for r in normalize_text(docs, form="NFKC").collect()}
+    assert nfkc[4] == "fine ligature"               # ligature folds
+
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text(docs, form="NFX")

@@ -31,7 +31,7 @@ def test_ungraded_split_and_redact_match_duckdb(spark):
                  "doc_span_dedup", "doc_lm_ppl", "doc_length_stats",
                  "tr2_json", "tr2_alb", "emb_semdedup_keep", "doc_mixing",
                  "doc_mixture_rows", "doc_tfidf_top", "evt_pagerank",
-                 "doc_chunks", "doc_blocklist"):
+                 "doc_chunks", "doc_blocklist", "doc_normalize"):
         sdf = UNGRADED[name](spark, SF).toPandas()
         odf = con.sql(UNGRADED_ORACLE[name]).df()
         sc, sr = canon(sdf)

@@ -550,3 +550,51 @@ def blocklist_filter(docs: DataFrame, terms: list[str],
             toks, lambda t: F.array_contains(blk, t)))
         frac = F.when(n > 0, blocked / n).otherwise(F.lit(0.0))
     return docs.filter(F.round(frac, 6) <= max_frac)
+
+
+NORM_SCHEMA = "doc_id bigint, text string, changed boolean"
+
+
+def normalize_text(docs: DataFrame, form: str = "NFC",
+                   collapse_ws: bool = True, strip_controls: bool = True,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Unicode + whitespace normalization — the cleaning stage between
+    raw extraction and every downstream hash/dedup/tokenize step
+    (un-normalized text makes byte-level dedup miss visually identical
+    docs). Three rules, each optional: canonical Unicode form (NFC by
+    default; NFKC for the aggressive variant), C0/C1 control-character
+    removal (tab/newline survive as whitespace), and whitespace
+    collapse (runs of whitespace -> one space, ends trimmed).
+
+    The control/whitespace rules are codegen'd regexp_replace (JVM);
+    the Unicode form is the one genuinely-Python step (Spark SQL has
+    no normalization builtin) and runs as an Arrow-batched mapInPandas
+    over stdlib unicodedata — text stays in its partition, no shuffle.
+    `changed` marks rows the pass rewrote (audit/metrics hook)."""
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    pre = F.col(text_col)
+    if strip_controls:
+        pre = F.regexp_replace(pre, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if collapse_ws:
+        pre = F.trim(F.regexp_replace(pre, r"\s+", " "))
+    staged = docs.select(F.col(id_col), F.col(text_col).alias("_orig"),
+                         pre.alias("_pre"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            normed = [unicodedata.normalize(form, t) if t is not None
+                      else None for t in pdf["_pre"]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "text": normed,
+                "changed": [a != b for a, b in zip(pdf["_orig"], normed)],
+            })
+
+    return staged.mapInPandas(fn, schema=NORM_SCHEMA)

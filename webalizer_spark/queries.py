@@ -1859,6 +1859,46 @@ def doc_tfidf_top(spark, sf):
         .filter(F.col("doc_id") < 100)
 
 
+@qu("doc_normalize", r"""
+WITH inp AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN '  e' || chr(769) || chr(1) || ' end'
+                      WHEN doc_id % 3 = 1
+                      THEN ' caf' || chr(233) || chr(9) || chr(9) || ' tab'
+                      ELSE '' END AS t
+  FROM documents
+),
+norm AS (
+  SELECT doc_id, t,
+         nfc_normalize(trim(regexp_replace(
+             regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '\s+', ' ', 'g'))) AS text
+  FROM inp
+)
+SELECT doc_id, text, text <> t AS changed FROM norm
+""")
+def doc_normalize(spark, sf):
+    """Text normalization (ungraded): NFC + control-strip + whitespace
+    collapse over documents extended with synthesized combining
+    sequences (e + U+0301 composes to é), a C0 control and tab runs —
+    every doc_id%3 class exercises a different rule mix
+    (quality.normalize_text; regex stages codegen'd, the NFC step an
+    Arrow mapInPandas over stdlib unicodedata). The oracle re-derives
+    the same pipeline with DuckDB's utf8proc nfc_normalize — two
+    independent Unicode implementations agreeing bit-exact."""
+    from webalizer_spark.operators.quality import normalize_text
+
+    d = _t(spark, sf, "documents")
+    ext = (F.when(F.col("doc_id") % 3 == 0,
+                  F.lit("  é\x01 end"))
+           .when(F.col("doc_id") % 3 == 1, F.lit(" café\t\t tab"))
+           .otherwise(F.lit("")))
+    staged = d.select("doc_id",
+                      F.concat(F.col("text"), ext).alias("text"))
+    return normalize_text(staged)
+
+
 @qu("doc_blocklist", """
 WITH t AS (
   SELECT doc_id,
