@@ -302,9 +302,16 @@ def test_blocklist_filter_and_stats(spark):
     assert {r["doc_id"] for r in
             blocklist_filter(docs, ["bad"], max_frac=0.3).collect()} \
         == {2, 3, 4}
-    # substring mode catches the embedded term
+    # substring mode catches the embedded term AND case-folds: a doc
+    # whose only occurrence is upper-case must still be dropped
     assert {r["doc_id"] for r in
             blocklist_filter(docs, ["bad"], substring=True).collect()} == {2}
+    up = _docs(spark, [(9, "BADWORD here"), (10, "fine")])
+    assert {r["doc_id"] for r in
+            blocklist_filter(up, ["badword"], substring=True).collect()} \
+        == {10}
+    s9 = blocklist_stats(up, ["badword"], substring=True).collect()
+    assert {r["doc_id"]: r["blocked_frac"] for r in s9} == {9: 1.0, 10: 0.0}
 
     big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = blocklist_filter(big, ["slow", "hash"])._jdf.queryExecution() \
@@ -339,6 +346,16 @@ def test_normalize_text_rules(spark):
     nfkc = {r["doc_id"]: r["text"]
             for r in normalize_text(docs, form="NFKC").collect()}
     assert nfkc[4] == "fine ligature"               # ligature folds
+
+    # order matters: NFKC folds NBSP INTO whitespace, and because the
+    # form runs BEFORE the collapse, the introduced space collapses too
+    nb = spark.createDataFrame([(21, "a  b"), (22, "c1ctl")],
+                               "doc_id long, text string")
+    nbo = {r["doc_id"]: r for r in
+           normalize_text(nb, form="NFKC").collect()}
+    assert nbo[21]["text"] == "a b" and nbo[21]["changed"]
+    # C1 controls (U+0085 NEL and friends) strip per the C0/C1 contract
+    assert nbo[22]["text"] == "c1ctl" and nbo[22]["changed"]
 
     with pytest.raises(ValueError, match="normalization form"):
         normalize_text(docs, form="NFX")

@@ -135,6 +135,13 @@ def test_chunk_documents_semantics_and_plan(spark):
     assert len([k for k in rows if k[0] == 2]) == 1
     assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_tokens"] == 1
 
+    # NULL text folds to one empty chunk (NOT a bogus full-size window
+    # — greatest/least skip NULL operands)
+    nulls = spark.createDataFrame([(7, None)], "doc_id long, text string")
+    nrows = chunk_documents(nulls, chunk_tokens=4, overlap=1).collect()
+    assert len(nrows) == 1
+    assert nrows[0]["chunk_text"] == "" and nrows[0]["n_tokens"] == 1
+
     import pytest
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)

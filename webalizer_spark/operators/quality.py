@@ -465,11 +465,16 @@ def pagerank(edges: DataFrame, n_iters: int = 8, damping: float = 0.85,
     FIXED (not convergence-tested) so the result is a deterministic
     function of the graph.
     """
+    # loop invariants materialize ONCE — without the checkpoint every
+    # iteration would re-derive the edge scan, the nodes distinct and
+    # the out-degree aggregate through raw lineage (3x per round)
     e = edges.select(F.col(src_col).alias("node"),
-                     F.col(dst_col).alias("dst"))
+                     F.col(dst_col).alias("dst")) \
+        .localCheckpoint(eager=True)
     nodes = (e.select("node").union(e.select(F.col("dst").alias("node")))
-             .distinct())
-    outdeg = e.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+             .distinct().localCheckpoint(eager=True))
+    outdeg = e.groupBy("node").agg(F.count(F.lit(1)).alias("deg")) \
+        .localCheckpoint(eager=True)
     n = nodes.count()          # bounded driver scalar (node count)
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -510,22 +515,30 @@ def blocklist_stats(docs: DataFrame, terms: list[str],
     variant of the rule). The term list is a bounded config artifact,
     so it rides the plan as a LITERAL array — per-row higher-order
     functions only, zero shuffle, no join."""
-    blk = F.array(*[F.lit(t.lower()) for t in terms])
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    n = F.size(toks)
-    if substring:
-        hits = F.size(F.filter(
-            blk, lambda b: F.col(text_col).contains(b)))
-        blocked = F.lit(None).cast("bigint")
-        frac = F.when(hits > 0, 1.0).otherwise(0.0)
-    else:
-        blocked = F.size(F.filter(
-            toks, lambda t: F.array_contains(blk, t))).cast("bigint")
-        frac = F.when(n > 0, blocked / n).otherwise(F.lit(0.0))
+    blocked, frac = _blocklist_frac(terms, text_col, substring)
+    n = F.size(F.split(F.lower(F.col(text_col)), " "))
     return docs.select(
         F.col(id_col), n.cast("bigint").alias("n_tokens"),
         blocked.alias("blocked_tokens"),
         F.round(frac, 6).alias("blocked_frac"))
+
+
+def _blocklist_frac(terms: list[str], text_col: str,
+                    substring: bool) -> tuple[F.Column, F.Column]:
+    """(blocked_tokens, blocked_frac) expressions shared by stats and
+    filter so the two can never disagree on which docs are dirty. BOTH
+    modes case-fold the text against the lowercased term list."""
+    blk = F.array(*[F.lit(t.lower()) for t in terms])
+    if substring:
+        hits = F.size(F.filter(
+            blk, lambda b: F.lower(F.col(text_col)).contains(b)))
+        return (F.lit(None).cast("bigint"),
+                F.when(hits > 0, 1.0).otherwise(0.0))
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    blocked = F.size(F.filter(
+        toks, lambda t: F.array_contains(blk, t))).cast("bigint")
+    return blocked, F.when(n > 0, blocked / n).otherwise(F.lit(0.0))
 
 
 def blocklist_filter(docs: DataFrame, terms: list[str],
@@ -538,17 +551,7 @@ def blocklist_filter(docs: DataFrame, terms: list[str],
     no id collection — a keep-set join would move most of the corpus
     through a broadcast for nothing), so the whole filter is one
     narrow pass."""
-    blk = F.array(*[F.lit(t.lower()) for t in terms])
-    if substring:
-        frac = F.when(
-            F.size(F.filter(blk, lambda b: F.col(text_col).contains(b)))
-            > 0, 1.0).otherwise(0.0)
-    else:
-        toks = F.split(F.lower(F.col(text_col)), " ")
-        n = F.size(toks)
-        blocked = F.size(F.filter(
-            toks, lambda t: F.array_contains(blk, t)))
-        frac = F.when(n > 0, blocked / n).otherwise(F.lit(0.0))
+    _blocked, frac = _blocklist_frac(terms, text_col, substring)
     return docs.filter(F.round(frac, 6) <= max_frac)
 
 
@@ -567,11 +570,12 @@ def normalize_text(docs: DataFrame, form: str = "NFC",
     removal (tab/newline survive as whitespace), and whitespace
     collapse (runs of whitespace -> one space, ends trimmed).
 
-    The control/whitespace rules are codegen'd regexp_replace (JVM);
-    the Unicode form is the one genuinely-Python step (Spark SQL has
-    no normalization builtin) and runs as an Arrow-batched mapInPandas
-    over stdlib unicodedata — text stays in its partition, no shuffle.
-    `changed` marks rows the pass rewrote (audit/metrics hook)."""
+    The Unicode form runs FIRST (NFKC can fold characters INTO
+    whitespace — e.g. NBSP — which the collapse must then see), as an
+    Arrow-batched mapInPandas over stdlib unicodedata (Spark SQL has
+    no normalization builtin); the control/whitespace rules then run
+    as codegen'd regexp_replace (JVM). Text stays in its partition —
+    no shuffle. `changed` marks rows the pass rewrote."""
     import unicodedata
     from collections.abc import Iterator
 
@@ -579,22 +583,29 @@ def normalize_text(docs: DataFrame, form: str = "NFC",
 
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
-    pre = F.col(text_col)
-    if strip_controls:
-        pre = F.regexp_replace(pre, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
-    if collapse_ws:
-        pre = F.trim(F.regexp_replace(pre, r"\s+", " "))
-    staged = docs.select(F.col(id_col), F.col(text_col).alias("_orig"),
-                         pre.alias("_pre"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            normed = [unicodedata.normalize(form, t) if t is not None
-                      else None for t in pdf["_pre"]]
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
-                "text": normed,
-                "changed": [a != b for a, b in zip(pdf["_orig"], normed)],
+                id_col: pdf[id_col].astype("int64"),
+                "_orig": pdf[text_col],
+                "_normed": [unicodedata.normalize(form, t)
+                            if t is not None else None
+                            for t in pdf[text_col]],
             })
 
-    return staged.mapInPandas(fn, schema=NORM_SCHEMA)
+    staged = docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        fn, schema=f"{id_col} bigint, _orig string, _normed string")
+    out = F.col("_normed")
+    if strip_controls:
+        # C0 (minus tab/newline/CR, which survive as whitespace), DEL,
+        # and the C1 range U+0080-U+009F (cp1252-mojibake controls)
+        out = F.regexp_replace(
+            out,
+            r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]", "")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return staged.select(
+        F.col(id_col).alias("doc_id"),
+        out.alias("text"),
+        (~out.eqNullSafe(F.col("_orig"))).alias("changed"))

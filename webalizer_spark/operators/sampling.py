@@ -184,7 +184,10 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.col(text_col), " ")
+    # NULL text folds to '' (one empty chunk) — without the coalesce,
+    # greatest/least skip the NULL size and emit a bogus full-length
+    # window that corrupts downstream packing budgets
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(toks)
     n_chunks = (F.lit(1) + F.greatest(
         F.lit(0),

@@ -1871,9 +1871,10 @@ WITH inp AS (
 ),
 norm AS (
   SELECT doc_id, t,
-         nfc_normalize(trim(regexp_replace(
-             regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-             '\s+', ' ', 'g'))) AS text
+         trim(regexp_replace(regexp_replace(
+             nfc_normalize(t),
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}]', '', 'g'),
+             '\s+', ' ', 'g')) AS text
   FROM inp
 )
 SELECT doc_id, text, text <> t AS changed FROM norm
