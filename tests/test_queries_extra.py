@@ -31,7 +31,8 @@ def test_ungraded_split_and_redact_match_duckdb(spark):
                  "doc_span_dedup", "doc_lm_ppl", "doc_length_stats",
                  "tr2_json", "tr2_alb", "emb_semdedup_keep", "doc_mixing",
                  "doc_mixture_rows", "doc_tfidf_top", "evt_pagerank",
-                 "doc_chunks", "doc_blocklist", "doc_normalize"):
+                 "doc_chunks", "doc_blocklist", "doc_normalize",
+                 "evt_anomalies"):
         sdf = UNGRADED[name](spark, SF).toPandas()
         odf = con.sql(UNGRADED_ORACLE[name]).df()
         sc, sr = canon(sdf)
@@ -53,3 +54,32 @@ def test_approx_distinct_tolerance(spark):
     assert set(exact) == set(approx)
     for d, e in exact.items():
         assert abs(approx[d] - e) <= max(2, 0.15 * e), (d, e, approx[d])
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """A planted 10x spike in an otherwise steady series is flagged;
+    warm-up rows (under 2 preceding) and zero-variance stretches get
+    NULL z; the window excludes the current row so the spike can't
+    mask itself; series are scored independently per partition."""
+    from webalizer_spark.operators.aggregates import rolling_zscore
+
+    rows = []
+    for d in range(14):
+        n = 1000 if d == 10 else 100 + (d % 3)   # mild wiggle + spike
+        rows.append(("a", d, n))
+        rows.append(("b", d, 50))                # flat series: std 0
+    df = spark.createDataFrame(rows, "series string, day int, n long")
+    out = {(r["series"], r["day"]): r
+           for r in rolling_zscore(df, "n", "day",
+                                   partition_col="series").collect()}
+    assert out[("a", 0)]["z"] is None            # no preceding rows
+    assert out[("a", 1)]["z"] is None            # one preceding row
+    assert out[("a", 10)]["is_anomaly"]          # the spike
+    assert out[("a", 10)]["z"] > 3
+    assert not out[("a", 9)]["is_anomaly"]
+    # the day AFTER the spike is judged against a window CONTAINING the
+    # spike, so its z is negative but modest — not flagged
+    assert not out[("a", 13)]["is_anomaly"]
+    for d in range(2, 14):
+        assert out[("b", d)]["z"] is None        # zero variance -> NULL
+        assert not out[("b", d)]["is_anomaly"]

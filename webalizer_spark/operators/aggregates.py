@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from webalizer_spark.operators.filters import group_name
@@ -213,3 +213,45 @@ def averages_and_maxima(daily: DataFrame) -> DataFrame:
         F.avg("pages").alias("avg_pages"), F.max("pages").alias("max_pages"),
         F.avg("kbytes").alias("avg_kbytes"), F.max("kbytes").alias("max_kbytes"),
     )
+
+
+def rolling_zscore(df: DataFrame, value_col: str, order_col: str,
+                   partition_col: str | None = None, window: int = 7,
+                   z_threshold: float = 3.0) -> DataFrame:
+    """Rolling z-score anomaly detection over an (already-aggregated)
+    time series — the traffic-spike flag on top of the daily rollup
+    family (A8): each row is scored against the mean/std of the
+    `window` PRECEDING rows (the current row is excluded so a spike
+    cannot mask itself).
+
+    Determinism recipe: the rolling mean/variance come from exact
+    DECIMAL window sums of x and x^2 (engines disagree in the last
+    bits of their streaming stddev implementations; sum-then-derive on
+    decimals is order-independent and bit-identical cross-engine),
+    then one shared double expression for mean/var/z. Rows with fewer
+    than 2 preceding observations or zero variance get a NULL z.
+
+    Scale note: this runs on ROLLUP output (one row per
+    (series, grain) — bounded by construction, e.g. types x days), not
+    on the fact table; with partition_col set the window partitions on
+    the series key, so no global single-partition window exists. 100 TB
+    of raw events still reduces to that rollup through the ordinary A8
+    partial-aggregation path before this operator ever runs."""
+    part = [partition_col] if partition_col else []
+    w = Window.partitionBy(*part).orderBy(F.col(order_col)) \
+        .rowsBetween(-window, -1)
+    x = F.col(value_col).cast("double")
+    s = F.sum(F.col(value_col).cast("decimal(38,6)")).over(w) \
+        .cast("double")
+    ss = F.sum((F.col(value_col) * F.col(value_col))
+               .cast("decimal(38,6)")).over(w).cast("double")
+    n = F.count(F.col(value_col)).over(w).cast("double")
+    mean = s / n
+    var = F.greatest((ss - s * s / n) / (n - 1.0), F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when((n >= 2) & (std > 0), (x - mean) / std)
+    return df.select(
+        *df.columns,
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False))
+        .alias("is_anomaly"))

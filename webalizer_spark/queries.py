@@ -1859,6 +1859,54 @@ def doc_tfidf_top(spark, sf):
         .filter(F.col("doc_id") < 100)
 
 
+@qu("evt_anomalies", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, n,
+         CAST(SUM(CAST(n AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(n * n AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss,
+         CAST(COUNT(n) OVER w AS DOUBLE) AS cnt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, day, n,
+         CASE WHEN cnt >= 2
+                   AND sqrt(GREATEST((ss - s * s / cnt) / (cnt - 1.0),
+                                     0.0)) > 0
+              THEN (CAST(n AS DOUBLE) - s / cnt)
+                   / sqrt(GREATEST((ss - s * s / cnt) / (cnt - 1.0), 0.0))
+         END AS z
+  FROM win
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, n, ROUND(z, 6) AS z,
+       COALESCE(ABS(z) > 3.0, FALSE) AS is_anomaly
+FROM scored
+""")
+def evt_anomalies(spark, sf):
+    """Rolling z-score anomaly flags over per-type daily counts
+    (ungraded): each day scored against the exact-decimal mean/std of
+    its 7 preceding days, per event_type (aggregates.rolling_zscore —
+    the traffic-spike layer on the A8 rollup; the window partitions on
+    the series key, no global single-partition window). The oracle
+    re-derives the decimal window sums and the shared double z
+    expression in SQL — streaming-stddev implementations differ
+    between engines, the sum-then-derive recipe does not."""
+    from webalizer_spark.operators.aggregates import rolling_zscore
+
+    ev = _t(spark, sf, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    return rolling_zscore(daily, "n", "day", partition_col="event_type") \
+        .withColumn("day", F.col("day").cast("string"))
+
+
 @qu("doc_normalize", r"""
 WITH inp AS (
   SELECT doc_id,
