@@ -32,7 +32,7 @@ def test_ungraded_split_and_redact_match_duckdb(spark):
                  "tr2_json", "tr2_alb", "emb_semdedup_keep", "doc_mixing",
                  "doc_mixture_rows", "doc_tfidf_top", "evt_pagerank",
                  "doc_chunks", "doc_blocklist", "doc_normalize",
-                 "evt_anomalies"):
+                 "evt_anomalies", "evt_cohorts", "evt_funnel"):
         sdf = UNGRADED[name](spark, SF).toPandas()
         odf = con.sql(UNGRADED_ORACLE[name]).df()
         sc, sr = canon(sdf)
@@ -83,3 +83,53 @@ def test_rolling_zscore_flags_planted_spike(spark):
     for d in range(2, 14):
         assert out[("b", d)]["z"] is None        # zero variance -> NULL
         assert not out[("b", d)]["is_anomaly"]
+
+
+def test_funnel_order_and_cohort_math(spark):
+    """Funnel: a user whose purchase precedes the click counts at
+    'view' only — order is enforced step-to-step, and each later step
+    requires ALL earlier ones. Cohorts: offsets measure days since the
+    user's first-seen day; a user active twice on one day counts once."""
+    import datetime as dt
+
+    from webalizer_spark.operators.aggregates import (
+        cohort_retention,
+        funnel_counts,
+    )
+
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [
+        # u1: clean full funnel in order
+        (1, "view", t(1)), (1, "click", t(2)), (1, "signup", t(3)),
+        (1, "purchase", t(4)),
+        # u2: skips signup entirely (purchase can't count without it)
+        (2, "view", t(1)), (2, "purchase", t(2)), (2, "click", t(3)),
+        # u3: view+click only, same-day double activity
+        (3, "view", t(5)), (3, "click", t(5, 6)), (3, "click", t(5, 9)),
+        # u4: never views -> contributes to no step
+        (4, "click", t(1)), (4, "purchase", t(2)),
+        # u5: purchase BEFORE signup -> order check stops it at signup
+        (5, "view", t(1)), (5, "click", t(2)), (5, "purchase", t(3)),
+        (5, "signup", t(4)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string,"
+                                     " ts timestamp")
+    fun = {r["step_name"]: r["users"] for r in
+           funnel_counts(ev, ["view", "click", "signup", "purchase"])
+           .collect()}
+    assert fun == {"view": 4, "click": 4, "signup": 2, "purchase": 1}
+
+    coh = {(r["cohort_day"], r["day_offset"]): r["users"]
+           for r in cohort_retention(ev).collect()}
+    # u1/u2/u4/u5 cohort 1/1 (u1 active days 1-4, u2 1-3, u4 1-2,
+    # u5 1-4); u3 cohort 1/5, one active day
+    assert coh[("2024-01-01", 0)] == 4
+    assert coh[("2024-01-01", 1)] == 4
+    assert coh[("2024-01-01", 2)] == 3
+    assert coh[("2024-01-01", 3)] == 2
+    assert coh[("2024-01-05", 0)] == 1
+    assert ("2024-01-05", 1) not in coh
+
+    import pytest
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_counts(ev, ["view"])

@@ -255,3 +255,63 @@ def rolling_zscore(df: DataFrame, value_col: str, order_col: str,
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False))
         .alias("is_anomaly"))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Cohort retention over the event stream: users grouped by their
+    FIRST-seen day (the cohort), then counted per (cohort_day,
+    day_offset) where offset is days since the cohort day — the
+    returning-visitor analysis the reference's visits table gestures
+    at `[webalizer.c ƒput_hnode visit accounting (U)]`, generalized to
+    the standard retention triangle.
+
+    Scale shape: one groupBy(user) min-aggregation for cohort
+    assignment (map-side partial), one distinct over (user, day)
+    activity pairs, then an equi-join on user_col — the join carries
+    only (user, day) pairs, never event payloads; the final
+    (cohort, offset) aggregate is tiny by construction. At whale user
+    counts the join is the one shuffle and AQE sizes both sides."""
+    first = (events.groupBy(F.col(user_col).alias("u"))
+             .agg(F.min(F.to_date(F.col(ts_col))).alias("cohort_day")))
+    active = (events.select(F.col(user_col).alias("u"),
+                            F.to_date(F.col(ts_col)).alias("day"))
+              .distinct())
+    return (active.join(first, "u")
+            .groupBy("cohort_day",
+                     F.datediff("day", "cohort_day").alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("users"))
+            .withColumn("cohort_day", F.col("cohort_day").cast("string")))
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", step_col: str = "event_type",
+                  ts_col: str = "ts") -> DataFrame:
+    """Ordered funnel conversion: how many users reached step k having
+    passed steps 1..k-1 IN ORDER (each step's first occurrence must be
+    strictly after the previous step's). One aggregation computes every
+    user's first-occurrence time per step (pivot-style min-filter
+    aggregates, map-side combined); the order predicate and the
+    per-step counts then collapse in a single pass — no joins, no
+    windows, two shuffles total (user grouping + the final tiny
+    rollup)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    firsts = events.groupBy(F.col(user_col).alias("u")).agg(*[
+        F.min(F.when(F.col(step_col) == s, F.col(ts_col)))
+        .alias(f"_t{i}") for i, s in enumerate(steps)])
+    reached = [F.col("_t0").isNotNull()]
+    for i in range(1, len(steps)):
+        reached.append(reached[i - 1]
+                       & F.col(f"_t{i}").isNotNull()
+                       & (F.col(f"_t{i}") > F.col(f"_t{i - 1}")))
+    agg = firsts.agg(*[
+        F.sum(r.cast("bigint")).alias(f"_s{i}")
+        for i, r in enumerate(reached)])
+    rows = F.array(*[
+        F.struct(F.lit(i + 1).cast("int").alias("step"),
+                 F.lit(s).alias("step_name"),
+                 F.col(f"_s{i}").alias("users"))
+        for i, s in enumerate(steps)])
+    return (agg.select(F.explode(rows).alias("_r"))
+            .select("_r.step", "_r.step_name", "_r.users"))

@@ -1859,6 +1859,71 @@ def doc_tfidf_top(spark, sf):
         .filter(F.col("doc_id") < 100)
 
 
+@qu("evt_cohorts", """
+WITH first AS (
+  SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(day - cohort_day AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM active JOIN first USING (u)
+GROUP BY 1, 2
+""")
+def evt_cohorts(spark, sf):
+    """Cohort retention triangle (ungraded): users bucketed by
+    first-seen day, counted per (cohort_day, day_offset)
+    (aggregates.cohort_retention — the returning-visitor analysis
+    generalized from the reference's visits accounting; the join
+    carries only (user, day) pairs). The oracle re-derives cohort
+    assignment, distinct activity days and the offset math in SQL."""
+    from webalizer_spark.operators.aggregates import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+@qu("evt_funnel", """
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t2,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT
+    CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0
+             THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1
+             THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 AND t3 > t2
+             THEN 1 ELSE 0 END) AS BIGINT) AS s3
+  FROM f
+)
+SELECT 1 AS step, 'view' AS step_name, s0 AS users FROM r
+UNION ALL SELECT 2, 'click', s1 FROM r
+UNION ALL SELECT 3, 'signup', s2 FROM r
+UNION ALL SELECT 4, 'purchase', s3 FROM r
+""")
+def evt_funnel(spark, sf):
+    """Ordered funnel conversion (ungraded): users reaching
+    view -> click -> signup -> purchase with each step's FIRST
+    occurrence strictly after the previous step's
+    (aggregates.funnel_counts — one user-grouped min-filter
+    aggregation plus a tiny rollup, no joins or windows). The oracle
+    re-derives the first-occurrence times and the ordered predicate
+    chain in SQL."""
+    from webalizer_spark.operators.aggregates import funnel_counts
+
+    return funnel_counts(_t(spark, sf, "events"),
+                         ["view", "click", "signup", "purchase"])
+
+
 @qu("evt_anomalies", """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
