@@ -240,3 +240,44 @@ def test_alb_lines_parse(spark):
         assert r["log_format"] == "alb", line[:40]
         for k, v in fields.items():
             assert r[k] == v, f"alb.{k}: {r[k]!r} != {v!r}"
+
+
+def test_parse_multi_fuzz_never_crashes(spark):
+    """Fuzz invariant for the multi-format path: ARBITRARY lines —
+    including ones that start like each grammar but break off — never
+    raise; every row either parses (parse_ok with actor/path/ts/nbytes
+    all present) or routes as a bad record. Runs as ONE Spark job per
+    hypothesis example (lines batched into a single DataFrame)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from webalizer_spark.operators.parse import parse_transcripts_multi
+
+    prefix = st.sampled_from([
+        "", "{", '{"ts":', "http 2024-01-02T", "https 9999-99-99T",
+        "1709120531.123 ", "Wed Feb 28 ", "#Fields: ", "2024-01-02 ",
+        "a b c [", "h2 2024-01-02T10:20:30.1Z x ", "\x00\x01",
+    ])
+    body = st.text(
+        alphabet=st.characters(codec="utf-8",
+                               exclude_characters="\n\r"),
+        max_size=80)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.tuples(prefix, body), min_size=1, max_size=40))
+    def prop(pairs):
+        lines = [(f"c{i}", i, "user", p + b, None, None)
+                 for i, (p, b) in enumerate(pairs)]
+        df = spark.createDataFrame(
+            lines, "conv_id string, turn_idx int, role string,"
+                   " text string, tool string, ts timestamp")
+        rows = parse_transcripts_multi(df, drop_directives=False).collect()
+        assert len(rows) == len(lines)
+        for r in rows:
+            if r["parse_ok"]:
+                assert r["actor"] is not None
+                assert r["path"] is not None
+                assert r["ts_text"] is not None
+                assert r["nbytes"] is not None
+
+    prop()
