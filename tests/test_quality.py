@@ -359,3 +359,36 @@ def test_normalize_text_rules(spark):
 
     with pytest.raises(ValueError, match="normalization form"):
         normalize_text(docs, form="NFX")
+
+
+def test_quantile_bins_semantics(spark):
+    """Quartile bins on a known 1..100 score column: ~25 per bin with
+    boundary scores binned by the strict-> rule; the sketch tier lands
+    within one bin of exact; n_bins<2 refuses; plan has no Window."""
+    import pytest
+
+    from webalizer_spark.operators.quality import quantile_bins
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)],
+                               "doc_id long, s double")
+    out = {r["doc_id"]: r["bin"] for r in
+           quantile_bins(df, "s", n_bins=4).collect()}
+    # thresholds (interpolated): 25.75 / 50.5 / 75.25
+    assert out[25] == 1 and out[26] == 2
+    assert out[50] == 2 and out[51] == 3
+    assert out[75] == 3 and out[76] == 4 and out[100] == 4
+    from collections import Counter
+    sizes = Counter(out.values())
+    assert set(sizes) == {1, 2, 3, 4}
+    assert all(24 <= v <= 26 for v in sizes.values())
+
+    approx = {r["doc_id"]: r["bin"] for r in
+              quantile_bins(df, "s", n_bins=4, exact=False).collect()}
+    assert all(abs(approx[k] - out[k]) <= 1 for k in out)
+
+    with pytest.raises(ValueError, match="n_bins"):
+        quantile_bins(df, "s", n_bins=1)
+
+    plan = quantile_bins(df, "s")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan, plan

