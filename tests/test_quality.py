@@ -389,6 +389,14 @@ def test_quantile_bins_semantics(spark):
     with pytest.raises(ValueError, match="n_bins"):
         quantile_bins(df, "s", n_bins=1)
 
+    # NULL score -> NULL bin (not silently band 1)
+    withnull = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, None)],
+        "doc_id long, s double")
+    nb = {r["doc_id"]: r["bin"] for r in
+          quantile_bins(withnull, "s", n_bins=2).collect()}
+    assert nb[4] is None and nb[1] == 1 and nb[3] == 2
+
     plan = quantile_bins(df, "s")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan, plan

@@ -85,6 +85,18 @@ def test_rolling_zscore_flags_planted_spike(spark):
         assert out[("b", d)]["z"] is None        # zero variance -> NULL
         assert not out[("b", d)]["is_anomaly"]
 
+    # RANGE frame: a calendar gap EMPTIES the baseline instead of
+    # stretching it across weeks of missing days (a ROWS frame would
+    # score day 40 against days 0-5)
+    gap = spark.createDataFrame(
+        [("c", d, 100 + d) for d in range(6)] + [("c", 40, 500)],
+        "series string, day int, n long")
+    gout = {r["day"]: r for r in
+            rolling_zscore(gap, "n", "day",
+                           partition_col="series").collect()}
+    assert gout[5]["z"] is not None
+    assert gout[40]["z"] is None and not gout[40]["is_anomaly"]
+
 
 def test_funnel_order_and_cohort_math(spark):
     """Funnel: a user whose purchase precedes the click counts at
@@ -134,3 +146,10 @@ def test_funnel_order_and_cohort_math(spark):
     import pytest
     with pytest.raises(ValueError, match="at least 2"):
         funnel_counts(ev, ["view"])
+
+    # empty input -> zeros, not NULLs (SUM over the empty set is NULL
+    # without the coalesce)
+    empty = ev.filter("user_id < 0")
+    zeros = {r["step_name"]: r["users"] for r in
+             funnel_counts(empty, ["view", "click"]).collect()}
+    assert zeros == {"view": 0, "click": 0}

@@ -221,15 +221,22 @@ def rolling_zscore(df: DataFrame, value_col: str, order_col: str,
     """Rolling z-score anomaly detection over an (already-aggregated)
     time series — the traffic-spike flag on top of the daily rollup
     family (A8): each row is scored against the mean/std of the
-    `window` PRECEDING rows (the current row is excluded so a spike
-    cannot mask itself).
+    `window` PRECEDING units of order_col (the current row is excluded
+    so a spike cannot mask itself). The frame is a RANGE frame over a
+    NUMERIC order column (e.g. a day number), so calendar gaps shrink
+    the baseline instead of silently stretching it across weeks of
+    missing days, and rows sharing an order value get identical
+    windows (no arbitrary row-order tie-breaking — a ROWS frame over
+    duplicate keys is nondeterministic).
 
     Determinism recipe: the rolling mean/variance come from exact
-    DECIMAL window sums of x and x^2 (engines disagree in the last
-    bits of their streaming stddev implementations; sum-then-derive on
-    decimals is order-independent and bit-identical cross-engine),
-    then one shared double expression for mean/var/z. Rows with fewer
-    than 2 preceding observations or zero variance get a NULL z.
+    DECIMAL window sums of x and x^2 (x is cast to decimal BEFORE
+    squaring — a bigint square overflows under ANSI at counts above
+    ~3e9; engines also disagree in the last bits of their streaming
+    stddev implementations, and sum-then-derive on decimals is
+    order-independent and bit-identical cross-engine), then one shared
+    double expression for mean/var/z. Rows with fewer than 2 in-window
+    observations or zero variance get a NULL z.
 
     Scale note: this runs on ROLLUP output (one row per
     (series, grain) — bounded by construction, e.g. types x days), not
@@ -239,12 +246,12 @@ def rolling_zscore(df: DataFrame, value_col: str, order_col: str,
     partial-aggregation path before this operator ever runs."""
     part = [partition_col] if partition_col else []
     w = Window.partitionBy(*part).orderBy(F.col(order_col)) \
-        .rowsBetween(-window, -1)
+        .rangeBetween(-window, -1)
     x = F.col(value_col).cast("double")
+    xd = F.col(value_col).cast("decimal(19,0)")
     s = F.sum(F.col(value_col).cast("decimal(38,6)")).over(w) \
         .cast("double")
-    ss = F.sum((F.col(value_col) * F.col(value_col))
-               .cast("decimal(38,6)")).over(w).cast("double")
+    ss = F.sum(xd * xd).over(w).cast("double")
     n = F.count(F.col(value_col)).over(w).cast("double")
     mean = s / n
     var = F.greatest((ss - s * s / n) / (n - 1.0), F.lit(0.0))
@@ -306,7 +313,7 @@ def funnel_counts(events: DataFrame, steps: list[str],
                        & F.col(f"_t{i}").isNotNull()
                        & (F.col(f"_t{i}") > F.col(f"_t{i - 1}")))
     agg = firsts.agg(*[
-        F.sum(r.cast("bigint")).alias(f"_s{i}")
+        F.coalesce(F.sum(r.cast("bigint")), F.lit(0)).alias(f"_s{i}")
         for i, r in enumerate(reached)])
     rows = F.array(*[
         F.struct(F.lit(i + 1).cast("int").alias("step"),

@@ -632,9 +632,12 @@ def quantile_bins(df: DataFrame, score_col: str, n_bins: int = 4,
            F.approx_percentile(F.col(score_col),
                                F.array(*[F.lit(q) for q in qs]), accuracy))
     th = df.agg(pct.alias("_th"))
+    bin_expr = (F.lit(1) + F.size(F.filter(
+        F.col("_th"),
+        lambda t: F.col(score_col).cast("double") > t))).cast("int")
+    # NULL score -> NULL bin: the HOF filter drops NULL predicates, so
+    # without the guard unscored rows would silently land in band 1
     return (df.crossJoin(F.broadcast(th))
-            .withColumn("bin", (F.lit(1) + F.size(F.filter(
-                F.col("_th"),
-                lambda t: F.col(score_col).cast("double") > t)))
-                .cast("int"))
+            .withColumn("bin", F.when(F.col(score_col).isNotNull(),
+                                      bin_expr))
             .drop("_th"))

@@ -1956,17 +1956,20 @@ def evt_funnel(spark, sf):
 @qu("evt_anomalies", """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+              AS BIGINT) AS day_num,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
+  FROM events GROUP BY 1, 2, 3
 ),
 win AS (
   SELECT event_type, day, n,
          CAST(SUM(CAST(n AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
-         CAST(SUM(CAST(n * n AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss,
+         CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+              OVER w AS DOUBLE) AS ss,
          CAST(COUNT(n) OVER w AS DOUBLE) AS cnt
   FROM daily
-  WINDOW w AS (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
 ),
 scored AS (
   SELECT event_type, day, n,
@@ -1985,10 +1988,12 @@ FROM scored
 def evt_anomalies(spark, sf):
     """Rolling z-score anomaly flags over per-type daily counts
     (ungraded): each day scored against the exact-decimal mean/std of
-    its 7 preceding days, per event_type (aggregates.rolling_zscore —
-    the traffic-spike layer on the A8 rollup; the window partitions on
-    the series key, no global single-partition window). The oracle
-    re-derives the decimal window sums and the shared double z
+    its 7 preceding CALENDAR days (a RANGE frame over the day number —
+    gap days shrink the baseline rather than stretching it), per
+    event_type (aggregates.rolling_zscore — the traffic-spike layer on
+    the A8 rollup; the window partitions on the series key, no global
+    single-partition window). The oracle re-derives the decimal window
+    sums (x squared as decimal, overflow-safe) and the shared double z
     expression in SQL — streaming-stddev implementations differ
     between engines, the sum-then-derive recipe does not."""
     from webalizer_spark.operators.aggregates import rolling_zscore
@@ -1996,9 +2001,13 @@ def evt_anomalies(spark, sf):
     ev = _t(spark, sf, "events")
     daily = (ev.groupBy("event_type",
                         F.date_trunc("day", "ts").cast("date").alias("day"))
-             .agg(F.count(F.lit(1)).alias("n")))
-    return rolling_zscore(daily, "n", "day", partition_col="event_type") \
-        .withColumn("day", F.col("day").cast("string"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("day_num",
+                         F.datediff("day", F.lit("1970-01-01"))
+                         .cast("bigint")))
+    return rolling_zscore(daily, "n", "day_num",
+                          partition_col="event_type") \
+        .withColumn("day", F.col("day").cast("string")).drop("day_num")
 
 
 @qu("doc_normalize", r"""
