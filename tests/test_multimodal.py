@@ -772,11 +772,13 @@ def test_mpeg1_property_closed_loop():
                             st.just(3))),
            st.integers(1, 4),
            st.sampled_from([2, 8, 20, 31]),
-           st.booleans())
-    def prop(frames, gop, qscale, full_pel):
+           st.booleans(),
+           st.sampled_from([0, 1, 2]))
+    def prop(frames, gop, qscale, full_pel, b_frames):
         rec = []
         bs = encode_mpeg1(frames, qscale=qscale, gop=gop,
-                          recon_out=rec, full_pel=full_pel)
+                          recon_out=rec, full_pel=full_pel,
+                          b_frames=b_frames)
         dec, shape = decode_mpeg1(bs)
         assert shape == frames.shape
         for i in range(frames.shape[0]):
@@ -863,3 +865,50 @@ def test_mpeg1_chroma_halving_truncates_toward_zero():
 
     assert [_half(v) for v in (-3, -2, -1, 0, 1, 2, 3)] \
         == [-1, -1, 0, 0, 0, 1, 1]
+
+
+def test_mpeg1_b_pictures():
+    """B pictures: closed-loop bit-exactness holds with bidirectional
+    prediction in both vector modes (any reorder or PMV mistake would
+    break it), the transmit stream really contains picture_coding_type
+    3, decode returns DISPLAY order, and on smooth linear motion the
+    B-coded GOP costs less than the same frames I/P-coded (interpolated
+    prediction pays)."""
+    from webalizer_spark.operators.mpeg1 import decode_mpeg1, encode_mpeg1
+
+    nf, h, w = 9, 32, 48
+    yy, xx = np.mgrid[0:h + 40, 0:w + 40]
+    sbg = np.clip(128 + 60 * np.sin(yy / 7.0) + 50 * np.cos(xx / 9.0),
+                  0, 255).astype(np.uint8)
+    sbg = np.stack([sbg, sbg[::-1], sbg], -1)
+    frames = np.stack([sbg[2 * i:2 * i + h, 4 * i:4 * i + w]
+                       for i in range(nf)])
+
+    for fp in (True, False):
+        rec = []
+        bs = encode_mpeg1(frames, qscale=4, gop=4, recon_out=rec,
+                          full_pel=fp, b_frames=2)
+        dec, shape = decode_mpeg1(bs)
+        assert shape == (nf, h, w, 3)
+        for i in range(nf):
+            assert np.array_equal(dec[i], rec[i]), (fp, i)
+        # display order: each decoded frame tracks ITS source frame
+        for i in range(nf):
+            err = np.abs(dec[i].astype(int) - frames[i].astype(int))
+            assert float(err.mean()) < 12.0, (fp, i)
+
+    # the stream carries real B pictures (type 3 in a picture header)
+    bs = encode_mpeg1(frames, qscale=4, gop=4, b_frames=2)
+    types = []
+    pos = 0
+    while True:
+        pos = bs.find(b"\x00\x00\x01\x00", pos)
+        if pos < 0:
+            break
+        types.append((bs[pos + 5] >> 3) & 0x7)
+        pos += 4
+    assert 3 in types and 1 in types
+
+    ipb = len(bs)
+    ip = len(encode_mpeg1(frames, qscale=4, gop=4, b_frames=0))
+    assert ipb < ip

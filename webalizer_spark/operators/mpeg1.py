@@ -2,12 +2,16 @@
 motion-compensated inter-frame codec for the multimodal decode path.
 
 This is the real MPEG-1 video coding layer, not a lookalike container:
-sequence / GOP / picture / slice / macroblock syntax, I- and P-pictures,
-default intra quantizer matrix with the standard zigzag scan, intra DC
-prediction, differential full-pel forward motion vectors (f_code=1),
-coded-block-pattern VLC, run/level DCT coefficient VLC with the
-standard escape coding, skipped macroblocks, and half-pel chroma
-prediction (luma vectors halve into chroma half-sample positions).
+sequence / GOP / picture / slice / macroblock syntax, I-, P- AND
+B-pictures (bidirectional prediction with separate forward/backward
+PMVs, the (f+b+1)>>1 interpolated average, anchor-first transmit order
+and the standard one-anchor reorder buffer on decode), default intra
+quantizer matrix with the standard zigzag scan, intra DC prediction,
+differential full-pel motion vectors (f_code=1), coded-block-pattern
+VLC, run/level DCT coefficient VLC with the standard escape coding,
+skipped macroblocks (I/P), and half-pel chroma prediction (luma
+vectors halve into chroma half-sample positions, truncating toward
+zero).
 The encoder emits a deliberately conservative-but-legal subset — one
 slice per picture, full_pel_forward_vector=1, default matrices, and the
 escape form for any run/level outside the short VLC table it carries —
@@ -22,9 +26,9 @@ decoder share one source of truth for them, so the round-trip tests
 prove internal consistency plus syntax-level conformance (start codes,
 marker bits, byte-aligned slices), but no third-party MPEG decoder
 exists in this sandbox to cross-check bit-exactness of the tables
-against. B-pictures, D-pictures and f_code>1 are out of subset and
-raise ValueError (decode_media routes that as corrupt, never wrong
-pixels).
+against. D-pictures, f_code>1 and skipped B macroblocks are out of
+subset and raise ValueError (decode_media routes that as corrupt,
+never wrong pixels).
 
 Recast anchor: the reference engine has no media path at all — this
 module belongs to the training-data-pipeline extension surface
@@ -88,6 +92,21 @@ _MBTYPE_P = {
     "00010": (1, 1, 1, 0),   # pred, MC, coded, +quant
     "00001": (1, 0, 1, 0),   # pred, no MC, coded, +quant
     "000001": (1, 0, 0, 1),  # intra +quant
+}
+# B.2c B-picture macroblock_type:
+#   value = (quant, motion_forward, motion_backward, coded_pattern, intra)
+_MBTYPE_B = {
+    "10": (0, 1, 1, 0, 0),      # interpolated, not coded
+    "11": (0, 1, 1, 1, 0),      # interpolated, coded
+    "010": (0, 0, 1, 0, 0),     # backward, not coded
+    "011": (0, 0, 1, 1, 0),     # backward, coded
+    "0010": (0, 1, 0, 0, 0),    # forward, not coded
+    "0011": (0, 1, 0, 1, 0),    # forward, coded
+    "00011": (0, 0, 0, 0, 1),   # intra
+    "00010": (1, 1, 1, 1, 0),   # interpolated, coded, +quant
+    "000011": (1, 1, 0, 1, 0),  # forward, coded, +quant
+    "000010": (1, 0, 1, 1, 0),  # backward, coded, +quant
+    "000001": (1, 0, 0, 0, 1),  # intra +quant
 }
 
 # B.4 motion_code (signed value -> bitstring; negative = last bit set)
@@ -500,18 +519,220 @@ def _recon_intra_block(dc: int, ac_zz: np.ndarray, qscale: int) -> np.ndarray:
     return np.clip(np.round(_idct(coef)), 0, 255).astype(np.uint8)
 
 
+def _search_fullpel(cur32: np.ndarray, ref: np.ndarray, py: int, px: int,
+                    search: int) -> tuple[int, int, int]:
+    """Exhaustive full-pel 16x16 SAD search around (0,0); returns
+    (sad, dy, dx) with the zero-vector/short-vector preference."""
+    best = None
+    y0lo, y0hi = max(-py, -search), min(ref.shape[0] - py - 16, search)
+    x0lo, x0hi = max(-px, -search), min(ref.shape[1] - px - 16, search)
+    for dy in range(y0lo, y0hi + 1):
+        for dx in range(x0lo, x0hi + 1):
+            cand = ref[py + dy:py + dy + 16,
+                       px + dx:px + dx + 16].astype(np.int32)
+            sad = int(np.abs(cur32 - cand).sum())
+            key = (sad + (0 if dy == dx == 0 else 1), abs(dy) + abs(dx))
+            if best is None or key < best[0]:
+                best = (key, dy, dx)
+    return best[0][0], best[1], best[2]
+
+
+def _refine_halfpel(cur32: np.ndarray, ref: np.ndarray, py: int, px: int,
+                    sad: int, dy: int, dx: int) -> tuple[int, int, int]:
+    """Half-sample refinement around an integer winner; vectors in
+    half-sample units."""
+    vy2, vx2 = 2 * dy, 2 * dx
+    for ey in (-1, 0, 1):
+        for ex in (-1, 0, 1):
+            cy2, cx2 = 2 * dy + ey, 2 * dx + ex
+            iy, hy = cy2 >> 1, cy2 & 1
+            ix, hx = cx2 >> 1, cx2 & 1
+            if (py + iy < 0 or px + ix < 0
+                    or py + iy + 16 + hy > ref.shape[0]
+                    or px + ix + 16 + hx > ref.shape[1]):
+                continue
+            cand = _predict(ref, py, px, 16, 16, cy2, cx2)
+            s = int(np.abs(cur32 - cand).sum())
+            if s < sad:
+                sad, vy2, vx2 = s, cy2, cx2
+    return sad, vy2, vx2
+
+
+def _b_mb_pred(fwd, bwd, mode, py, px, cy, cx, vf, vb):
+    """Prediction planes for one B macroblock: forward / backward /
+    interpolated ((f + b + 1) >> 1), luma + both chroma."""
+    parts = []
+    if mode in ("fwd", "interp"):
+        parts.append((
+            _predict(fwd[0], py, px, 16, 16, vf[0], vf[1]),
+            _predict(fwd[1], cy, cx, 8, 8, _half(vf[0]), _half(vf[1])),
+            _predict(fwd[2], cy, cx, 8, 8, _half(vf[0]), _half(vf[1]))))
+    if mode in ("bwd", "interp"):
+        parts.append((
+            _predict(bwd[0], py, px, 16, 16, vb[0], vb[1]),
+            _predict(bwd[1], cy, cx, 8, 8, _half(vb[0]), _half(vb[1])),
+            _predict(bwd[2], cy, cx, 8, 8, _half(vb[0]), _half(vb[1]))))
+    if len(parts) == 1:
+        return parts[0]
+    return tuple((a + b + 1) >> 1 for a, b in zip(parts[0], parts[1]))
+
+
+# B-picture mb_type codes by (motion_forward, motion_backward, coded)
+_B_CODE = {(1, 1, 0): "10", (1, 1, 1): "11", (0, 1, 0): "010",
+           (0, 1, 1): "011", (1, 0, 0): "0010", (1, 0, 1): "0011"}
+
+
+def _encode_b_picture(bw: _BW, cur, fwd, bwd, qscale: int, search: int,
+                      full_pel: bool, mb_w: int, mb_h: int):
+    """Macroblock layer of one B picture: per MB pick the cheapest of
+    forward / backward / interpolated prediction (intra fallback),
+    code residuals under the chosen prediction, and keep separate
+    forward/backward PMVs. No skipped macroblocks (encoder choice —
+    legal, and it keeps the PMV bookkeeping obvious). Returns the
+    reconstructed (y, cb, cr) planes — the decoder must match them
+    bit-exactly."""
+    y, cb, cr = cur
+    rec_y = np.zeros_like(y)
+    rec_cb = np.zeros_like(cb)
+    rec_cr = np.zeros_like(cr)
+    pred_dc = [128, 128, 128]
+    pmv = {"f": [0, 0], "b": [0, 0]}       # [x, y] per direction
+
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            py, px = my * 16, mx * 16
+            cy, cx = my * 8, mx * 8
+            cur_y = y[py:py + 16, px:px + 16]
+            cur32 = cur_y.astype(np.int32)
+
+            sf, dyf, dxf = _search_fullpel(cur32, fwd[0], py, px, search)
+            sb, dyb, dxb = _search_fullpel(cur32, bwd[0], py, px, search)
+            if full_pel:
+                vf = (dyf, dxf)
+                vb = (dyb, dxb)
+                vf2 = (2 * dyf, 2 * dxf)
+                vb2 = (2 * dyb, 2 * dxb)
+            else:
+                sf, fy2, fx2 = _refine_halfpel(cur32, fwd[0], py, px,
+                                               sf, dyf, dxf)
+                sb, by2, bx2 = _refine_halfpel(cur32, bwd[0], py, px,
+                                               sb, dyb, dxb)
+                vf, vf2 = (fy2, fx2), (fy2, fx2)
+                vb, vb2 = (by2, bx2), (by2, bx2)
+            pi = _b_mb_pred(fwd, bwd, "interp", py, px, cy, cx, vf2, vb2)
+            si = int(np.abs(cur32 - pi[0]).sum())
+            mode, sad = min((("fwd", sf), ("bwd", sb), ("interp", si)),
+                            key=lambda t: t[1])
+            intra_cost = int(np.abs(cur32 - int(cur32.mean())).sum())
+            bw.code(_MBA_CODES[1])         # no skipping: increment 1
+
+            if intra_cost + 500 < sad:
+                bw.code("00011")           # B intra
+                pdc = pred_dc
+                pdc[0] = _encode_intra_block(bw, y, py, px, qscale,
+                                             pdc[0], False)
+                d2 = _encode_intra_block(bw, y, py, px + 8, qscale,
+                                         pdc[0], False)
+                d3 = _encode_intra_block(bw, y, py + 8, px, qscale,
+                                         d2, False)
+                pdc[0] = _encode_intra_block(bw, y, py + 8, px + 8,
+                                             qscale, d3, False)
+                pdc[1] = _encode_intra_block(bw, cb, cy, cx, qscale,
+                                             pdc[1], True)
+                pdc[2] = _encode_intra_block(bw, cr, cy, cx, qscale,
+                                             pdc[2], True)
+                for byy, bxx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    blk = y[py + byy:py + byy + 8, px + bxx:px + bxx + 8]
+                    co = np.round(_fdct(blk)).astype(np.int64)
+                    lv = _quant_intra(co, qscale, _INTRA_Q)
+                    dcq = max(0, min(255, int(np.round(co[0, 0] / 8.0))))
+                    rec_y[py + byy:py + byy + 8, px + bxx:px + bxx + 8] = \
+                        _recon_intra_block(dcq, lv.reshape(64)[_ZZ], qscale)
+                for plane, rec in ((cb, rec_cb), (cr, rec_cr)):
+                    blk = plane[cy:cy + 8, cx:cx + 8]
+                    co = np.round(_fdct(blk)).astype(np.int64)
+                    lv = _quant_intra(co, qscale, _INTRA_Q)
+                    dcq = max(0, min(255, int(np.round(co[0, 0] / 8.0))))
+                    rec[cy:cy + 8, cx:cx + 8] = _recon_intra_block(
+                        dcq, lv.reshape(64)[_ZZ], qscale)
+                pmv["f"] = [0, 0]
+                pmv["b"] = [0, 0]
+                continue
+
+            pred_dc = [128, 128, 128]
+            mf = 1 if mode in ("fwd", "interp") else 0
+            mbk = 1 if mode in ("bwd", "interp") else 0
+            pred = (pi if mode == "interp"
+                    else _b_mb_pred(fwd, bwd, mode, py, px, cy, cx,
+                                    vf2, vb2))
+            blocks = []
+            for byy in (0, 8):
+                for bxx in (0, 8):
+                    blocks.append(
+                        cur_y[byy:byy + 8, bxx:bxx + 8].astype(np.int32)
+                        - pred[0][byy:byy + 8, bxx:bxx + 8])
+            blocks.append(cb[cy:cy + 8, cx:cx + 8].astype(np.int32)
+                          - pred[1])
+            blocks.append(cr[cy:cy + 8, cx:cx + 8].astype(np.int32)
+                          - pred[2])
+            levels, cbp = [], 0
+            for bi, res in enumerate(blocks):
+                lv = _quant_nonintra(np.round(_fdct(res)).astype(np.int64),
+                                     qscale, _NONINTRA_Q)
+                lz = lv.reshape(64)[_ZZ]
+                levels.append(lz)
+                if np.any(lz):
+                    cbp |= 1 << (5 - bi)
+            coded = 1 if cbp else 0
+            bw.code(_B_CODE[(mf, mbk, coded)])
+            if mf:
+                _put_motion(bw, vf[1], pmv["f"][0])
+                _put_motion(bw, vf[0], pmv["f"][1])
+                pmv["f"] = [vf[1], vf[0]]
+            if mbk:
+                _put_motion(bw, vb[1], pmv["b"][0])
+                _put_motion(bw, vb[0], pmv["b"][1])
+                pmv["b"] = [vb[1], vb[0]]
+            recon = []
+            if coded:
+                bw.code(_CBP_CODES[cbp])
+            for bi, lz in enumerate(levels):
+                if cbp & (1 << (5 - bi)):
+                    _put_block_rle(bw, lz, first_nonintra=True)
+                    lvq = np.zeros(64, dtype=np.int64)
+                    lvq[_ZZ] = lz
+                    recon.append(np.round(_idct(_dequant_nonintra(
+                        lvq.reshape(8, 8), qscale,
+                        _NONINTRA_Q))).astype(np.int32))
+                else:
+                    recon.append(np.zeros((8, 8), dtype=np.int32))
+            for bi, (byy, bxx) in enumerate(((0, 0), (0, 8),
+                                             (8, 0), (8, 8))):
+                rec_y[py + byy:py + byy + 8, px + bxx:px + bxx + 8] = \
+                    np.clip(pred[0][byy:byy + 8, bxx:bxx + 8]
+                            + recon[bi], 0, 255)
+            rec_cb[cy:cy + 8, cx:cx + 8] = np.clip(pred[1] + recon[4],
+                                                   0, 255)
+            rec_cr[cy:cy + 8, cx:cx + 8] = np.clip(pred[2] + recon[5],
+                                                   0, 255)
+    return rec_y, rec_cb, rec_cr
+
+
 def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
                  search: int = 7, recon_out: list | None = None,
-                 full_pel: bool = True) -> bytes:
+                 full_pel: bool = True, b_frames: int = 0) -> bytes:
     """Encode (nf, h, w, 3) uint8 RGB frames as an MPEG-1 video
-    elementary stream (I/P pictures, 4:2:0, one slice per picture,
-    default matrices). full_pel=True emits full-pel forward vectors;
-    full_pel=False emits half-sample-unit vectors with a half-pel
-    refinement pass after the integer search (exercising the
-    interpolating prediction on both sides). If `recon_out` is a
-    list it receives the encoder's own reconstructed RGB frames — the
-    decoder must reproduce these bit-exactly (closed-loop invariant;
-    any mismatch means P-frame drift)."""
+    elementary stream (I/P — and with b_frames>0, B — pictures, 4:2:0,
+    one slice per picture, default matrices). full_pel=True emits
+    full-pel vectors; full_pel=False emits half-sample-unit vectors
+    with a half-pel refinement pass after the integer search
+    (exercising the interpolating prediction on both sides). b_frames
+    inserts that many bidirectionally-predicted pictures between
+    anchors (transmit order anchor-first, the standard reorder; B
+    pictures are never reference frames). If `recon_out` is a list it
+    receives the encoder's own reconstructed RGB frames in DISPLAY
+    order — the decoder must reproduce these bit-exactly (closed-loop
+    invariant; any mismatch means prediction drift)."""
     if frames.ndim != 4 or frames.shape[-1] != 3 or frames.dtype != np.uint8:
         raise ValueError("encode_mpeg1 needs (nf, h, w, 3) uint8 RGB")
     if not 1 <= qscale <= 31:
@@ -544,27 +765,57 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
     mb_w = (w + 15) // 16
     mb_h = (h + 15) // 16
     ref_y = ref_cb = ref_cr = None
+    prev_anchor = None                     # forward reference for B
+    recon_store: dict[int, np.ndarray] = {}
 
-    for fi in range(nf):
-        is_i = fi % gop == 0
+    if b_frames:
+        if nf > 1024:
+            raise ValueError(
+                "b_frames needs nf <= 1024 (temporal_reference reorder)")
+        anchors = list(range(0, nf, b_frames + 1))
+        if anchors[-1] != nf - 1:
+            anchors.append(nf - 1)
+        plan: list[tuple[str, int]] = [("I", anchors[0])]
+        for ai in range(1, len(anchors)):
+            plan.append(("I" if ai % gop == 0 else "P", anchors[ai]))
+            plan.extend(("B", d)
+                        for d in range(anchors[ai - 1] + 1, anchors[ai]))
+    else:
+        plan = [("I" if fi % gop == 0 else "P", fi) for fi in range(nf)]
+
+    for kind, fi in plan:
+        is_i = kind == "I"
         y, cb, cr = _rgb_to_yuv420(frames[fi])
         y, cb, cr = _pad_mult(y, 16), _pad_mult(cb, 8), _pad_mult(cr, 8)
-        rec_y = np.zeros_like(y)
-        rec_cb = np.zeros_like(cb)
-        rec_cr = np.zeros_like(cr)
 
         bw.raw(_PIC_START)
         bw.bits(fi % 1024, 10)             # temporal_reference
-        bw.bits(1 if is_i else 2, 3)       # picture_coding_type
+        bw.bits({"I": 1, "P": 2, "B": 3}[kind], 3)
         bw.bits(0xFFFF, 16)                # vbv_delay: unknown
-        if not is_i:
+        if kind != "I":
             bw.bits(1 if full_pel else 0, 1)   # full_pel_forward_vector
             bw.bits(1, 3)                  # forward_f_code = 1
+        if kind == "B":
+            bw.bits(1 if full_pel else 0, 1)   # full_pel_backward_vector
+            bw.bits(1, 3)                  # backward_f_code = 1
         bw.bits(0, 1)                      # extra_bit_picture
         bw.align()
         bw.raw(b"\x00\x00\x01\x01")        # slice 1 (whole picture)
         bw.bits(qscale, 5)
         bw.bits(0, 1)                      # extra_bit_slice
+
+        if kind == "B":
+            brec = _encode_b_picture(
+                bw, (y, cb, cr), prev_anchor, (ref_y, ref_cb, ref_cr),
+                qscale, search, full_pel, mb_w, mb_h)
+            bw.align()
+            if recon_out is not None:
+                recon_store[fi] = _yuv420_to_rgb(*brec)[:h, :w]
+            continue
+
+        rec_y = np.zeros_like(y)
+        rec_cb = np.zeros_like(cb)
+        rec_cr = np.zeros_like(cr)
 
         pred_dc = [1024 // 8, 1024 // 8, 1024 // 8]   # Y, Cb, Cr (pel units)
         pmv_y = pmv_x = 0
@@ -757,10 +1008,13 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
                                                        0, 255)
 
         bw.align()
+        prev_anchor = (ref_y, ref_cb, ref_cr)
         ref_y, ref_cb, ref_cr = rec_y, rec_cb, rec_cr
         if recon_out is not None:
-            recon_out.append(_yuv420_to_rgb(rec_y, rec_cb, rec_cr)[:h, :w])
+            recon_store[fi] = _yuv420_to_rgb(rec_y, rec_cb, rec_cr)[:h, :w]
 
+    if recon_out is not None:
+        recon_out.extend(recon_store[d] for d in sorted(recon_store))
     bw.align()
     bw.raw(_SEQ_END)
     return bw.bytes()
@@ -779,8 +1033,10 @@ def _read_matrix(br: _BR) -> np.ndarray:
 
 
 def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
-    """Decode an MPEG-1 video elementary stream (I/P subset) to
-    ((nf, h, w, 3) uint8 RGB, shape)."""
+    """Decode an MPEG-1 video elementary stream (I/P/B subset) to
+    ((nf, h, w, 3) uint8 RGB, shape) in DISPLAY order (anchor frames
+    are held back one anchor period — the standard reorder buffer; B
+    pictures emit immediately)."""
     if payload[:4] != _SEQ_START:
         raise ValueError("not an MPEG-1 video sequence")
     br = _BR(payload, 4)
@@ -805,7 +1061,9 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
     ref_y = np.zeros((ph, pw), dtype=np.uint8)
     ref_cb = np.full((ph // 2, pw // 2), 128, dtype=np.uint8)
     ref_cr = np.full((ph // 2, pw // 2), 128, dtype=np.uint8)
+    prev_y, prev_cb, prev_cr = ref_y, ref_cb, ref_cr   # forward ref for B
     frames: list[np.ndarray] = []
+    pending: np.ndarray | None = None      # reorder buffer (one anchor)
 
     def next_start(br: _BR) -> int:
         """Advance to just past the next start code; -1 at stream end."""
@@ -855,16 +1113,19 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
 
         br.bits(10)                       # temporal_reference
         ptype = br.bits(3)
-        if ptype not in (1, 2):
+        if ptype not in (1, 2, 3):
             raise ValueError(f"unsupported MPEG picture type {ptype}"
-                             " (I/P subset)")
+                             " (I/P/B subset)")
         br.bits(16)                       # vbv_delay
-        full_pel = f_code = 1
-        if ptype == 2:
+        full_pel = full_pel_b = 1
+        if ptype in (2, 3):
             full_pel = br.bit()
-            f_code = br.bits(3)
-            if f_code != 1:
+            if br.bits(3) != 1:
                 raise ValueError("forward_f_code > 1 out of subset")
+        if ptype == 3:
+            full_pel_b = br.bit()
+            if br.bits(3) != 1:
+                raise ValueError("backward_f_code > 1 out of subset")
         while br.bit():                   # extra_information_picture
             br.bits(8)
 
@@ -885,6 +1146,7 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
             mba = (sc - 1) * mb_w - 1
             pred_dc = [128, 128, 128]
             pmv_x = pmv_y = 0
+            pmv_bx = pmv_by = 0            # backward PMV (B pictures)
             first_in_slice = True
             while True:
                 inc = 0
@@ -900,6 +1162,11 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                 # skipped macroblocks: copy co-located from reference
                 if inc > 1 and first_in_slice:
                     raise ValueError("MPEG slice starts with a skip run")
+                if inc > 1 and ptype == 3:
+                    # B-skip repeats the previous MB's prediction; our
+                    # encoder never emits it — honest refusal, not
+                    # wrong pixels
+                    raise ValueError("skipped B macroblocks out of subset")
                 for _ in range(inc - 1):
                     mba += 1
                     sy, sx = (mba // mb_w) * 16, (mba % mb_w) * 16
@@ -919,25 +1186,36 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                 py, px = (mba // mb_w) * 16, (mba % mb_w) * 16
                 cy, cx = py // 2, px // 2
 
-                table = _MBTYPE_I if ptype == 1 else _MBTYPE_P
-                quant, mf, cp, intra = br.vlc(table, "macroblock_type",
-                                              maxlen=6)
+                if ptype == 3:
+                    quant, mf, mbk, cp, intra = br.vlc(
+                        _MBTYPE_B, "macroblock_type", maxlen=6)
+                else:
+                    table = _MBTYPE_I if ptype == 1 else _MBTYPE_P
+                    quant, mf, cp, intra = br.vlc(
+                        table, "macroblock_type", maxlen=6)
+                    mbk = 0
                 if quant:
                     qscale = br.bits(5)
                     if qscale == 0:
                         raise ValueError("MPEG quantizer_scale 0")
-                mv_x = mv_y = 0
+                mv_x = mv_y = mv_bx = mv_by = 0
                 if mf:
                     dx = br.vlc(_MOTION_DEC, "motion_code")
                     dy = br.vlc(_MOTION_DEC, "motion_code")
                     mv_x = _wrap_mv(pmv_x + dx)
                     mv_y = _wrap_mv(pmv_y + dy)
                     pmv_x, pmv_y = mv_x, mv_y
-                else:
-                    pmv_x = pmv_y = 0
+                elif ptype != 3:
+                    pmv_x = pmv_y = 0      # P no-MC: zero vector + reset
+                if mbk:
+                    dx = br.vlc(_MOTION_DEC, "motion_code")
+                    dy = br.vlc(_MOTION_DEC, "motion_code")
+                    mv_bx = _wrap_mv(pmv_bx + dx)
+                    mv_by = _wrap_mv(pmv_by + dy)
+                    pmv_bx, pmv_by = mv_bx, mv_by
 
                 if intra:
-                    pmv_x = pmv_y = 0
+                    pmv_x = pmv_y = pmv_bx = pmv_by = 0
                     planes = ((new_y, py, px, 0), (new_y, py, px + 8, 0),
                               (new_y, py + 8, px, 0),
                               (new_y, py + 8, px + 8, 0),
@@ -969,15 +1247,38 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                         break
                     continue
 
-                # P prediction (mf=0 means zero vector)
+                # inter prediction: P forward from the last anchor
+                # (mf=0 means zero vector); B forward from the OLDER
+                # anchor, backward from the newer, averaged when both
                 pred_dc = [128, 128, 128]
                 scale2 = 2 if full_pel else 1
-                pyb = _predict(ref_y, py, px, 16, 16,
-                               scale2 * mv_y, scale2 * mv_x)
-                cvy = _half(scale2 * mv_y)
-                cvx = _half(scale2 * mv_x)
-                pcb = _predict(ref_cb, cy, cx, 8, 8, cvy, cvx)
-                pcr = _predict(ref_cr, cy, cx, 8, 8, cvy, cvx)
+                parts = []
+                if ptype != 3 or mf:
+                    fy2, fx2 = scale2 * mv_y, scale2 * mv_x
+                    src = (prev_y, prev_cb, prev_cr) if ptype == 3 \
+                        else (ref_y, ref_cb, ref_cr)
+                    parts.append((
+                        _predict(src[0], py, px, 16, 16, fy2, fx2),
+                        _predict(src[1], cy, cx, 8, 8,
+                                 _half(fy2), _half(fx2)),
+                        _predict(src[2], cy, cx, 8, 8,
+                                 _half(fy2), _half(fx2))))
+                if ptype == 3 and mbk:
+                    sb2 = 2 if full_pel_b else 1
+                    by2, bx2 = sb2 * mv_by, sb2 * mv_bx
+                    parts.append((
+                        _predict(ref_y, py, px, 16, 16, by2, bx2),
+                        _predict(ref_cb, cy, cx, 8, 8,
+                                 _half(by2), _half(bx2)),
+                        _predict(ref_cr, cy, cx, 8, 8,
+                                 _half(by2), _half(bx2))))
+                if not parts:
+                    raise ValueError("MPEG B macroblock with no vectors")
+                if len(parts) == 2:
+                    pyb, pcb, pcr = ((a + b + 1) >> 1
+                                     for a, b in zip(parts[0], parts[1]))
+                else:
+                    pyb, pcb, pcr = parts[0]
                 cbp = br.vlc(_CBP_DEC, "coded_block_pattern",
                              maxlen=9) if cp else 0
                 residual = []
@@ -1012,9 +1313,18 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                     break
             sc = next_start(br)
 
-        ref_y, ref_cb, ref_cr = new_y, new_cb, new_cr
-        frames.append(_yuv420_to_rgb(new_y, new_cb, new_cr)[:h, :w])
+        rgb = _yuv420_to_rgb(new_y, new_cb, new_cr)[:h, :w]
+        if ptype == 3:
+            frames.append(rgb)             # B emits immediately
+        else:
+            prev_y, prev_cb, prev_cr = ref_y, ref_cb, ref_cr
+            ref_y, ref_cb, ref_cr = new_y, new_cb, new_cr
+            if pending is not None:
+                frames.append(pending)     # release the held anchor
+            pending = rgb
 
+    if pending is not None:
+        frames.append(pending)
     if not frames:
         raise ValueError("MPEG stream contains no pictures")
     out = np.stack(frames)

@@ -384,9 +384,11 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             fr = np.stack([base[fi, fi % 8:fi % 8 + h2,
                                 fi % 8:fi % 8 + w2] for fi in range(nf)])
             # i%96==47 is always odd, so parity can't alternate the
-            # vector mode — alternate by fixture block instead
+            # vector mode — alternate by fixture block instead: block 0
+            # = half-pel I/P, block 1 = full-pel with B pictures
             payload = encode_mpeg1(fr, qscale=8, gop=4,
-                                   full_pel=bool((i // 96) % 2))
+                                   full_pel=bool((i // 96) % 2),
+                                   b_frames=(i // 96) % 2)
         elif kind == "video" and i % 48 == 23:
             from webalizer_spark.operators.flic import encode_flc
             base = rng.integers(0, 256, (h, w), dtype=np.uint8)
