@@ -736,8 +736,10 @@ def test_mpeg1_codec_closed_loop():
 def test_fixture_contains_real_mpeg1(spark, media):
     """The fixture ships genuine MPEG-1 elementary streams (sequence
     start code 000001B3); extract_features drives the motion-
-    compensated decode path under Spark and the frame count matches
-    the stream."""
+    compensated decode path under Spark, the frame count matches the
+    stream, and at least one fixture stream really carries
+    picture_coding_type 3 — B pictures go through the Spark decode
+    path even at this fixture size."""
     from webalizer_spark.operators.mpeg1 import decode_mpeg1
 
     rows = media.select("media_id", "kind", "payload", "n_frames").collect()
@@ -745,12 +747,29 @@ def test_fixture_contains_real_mpeg1(spark, media):
             if bytes(r["payload"][:4]) == b"\x00\x00\x01\xb3"]
     assert mpgs, "no MPEG-1 rows in fixture"
     feats = extract_features(media).toPandas()
+    ptypes: set[int] = set()
     for r in mpgs:
-        frames, shape = decode_mpeg1(bytes(r["payload"]))
+        raw = bytes(r["payload"])
+        frames, shape = decode_mpeg1(raw)
         assert shape[0] == r["n_frames"]
         got = feats[feats["media_id"] == r["media_id"]].iloc[0]
         assert bool(got["ok"])
         assert got["decoded_shape"] == "x".join(map(str, shape))
+        pos = 0
+        while True:
+            pos = raw.find(b"\x00\x00\x01\x00", pos)
+            if pos < 0:
+                break
+            ptypes.add((raw[pos + 5] >> 3) & 0x7)
+            pos += 4
+    assert 3 in ptypes, f"no B pictures in fixture streams: {ptypes}"
+
+    import pytest
+
+    from webalizer_spark.operators.mpeg1 import encode_mpeg1
+    with pytest.raises(ValueError, match="b_frames"):
+        encode_mpeg1(np.zeros((2, 16, 16, 3), dtype=np.uint8),
+                     b_frames=-1)
 
 
 def test_mpeg1_property_closed_loop():

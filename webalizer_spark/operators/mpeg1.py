@@ -519,11 +519,43 @@ def _recon_intra_block(dc: int, ac_zz: np.ndarray, qscale: int) -> np.ndarray:
     return np.clip(np.round(_idct(coef)), 0, 255).astype(np.uint8)
 
 
+def _encode_intra_mb(bw: _BW, y, cb, cr, rec_y, rec_cb, rec_cr,
+                     py: int, px: int, cy: int, cx: int,
+                     qscale: int, pred_dc: list[int]) -> None:
+    """Emit + reconstruct one intra macroblock (shared by the I/P and
+    B paths so the DC chain and recon rule live in exactly one place):
+    four luma blocks chained through the Y DC predictor, then Cb/Cr;
+    pred_dc mutates in place; recon planes are written directly."""
+    pred_dc[0] = _encode_intra_block(bw, y, py, px, qscale,
+                                     pred_dc[0], False)
+    d2 = _encode_intra_block(bw, y, py, px + 8, qscale, pred_dc[0], False)
+    d3 = _encode_intra_block(bw, y, py + 8, px, qscale, d2, False)
+    pred_dc[0] = _encode_intra_block(bw, y, py + 8, px + 8, qscale,
+                                     d3, False)
+    pred_dc[1] = _encode_intra_block(bw, cb, cy, cx, qscale,
+                                     pred_dc[1], True)
+    pred_dc[2] = _encode_intra_block(bw, cr, cy, cx, qscale,
+                                     pred_dc[2], True)
+    for plane, rec, by0, bx0 in (
+            (y, rec_y, py, px), (y, rec_y, py, px + 8),
+            (y, rec_y, py + 8, px), (y, rec_y, py + 8, px + 8),
+            (cb, rec_cb, cy, cx), (cr, rec_cr, cy, cx)):
+        blk = plane[by0:by0 + 8, bx0:bx0 + 8]
+        co = np.round(_fdct(blk)).astype(np.int64)
+        lv = _quant_intra(co, qscale, _INTRA_Q)
+        dcq = max(0, min(255, int(np.round(co[0, 0] / 8.0))))
+        rec[by0:by0 + 8, bx0:bx0 + 8] = _recon_intra_block(
+            dcq, lv.reshape(64)[_ZZ], qscale)
+
+
 def _search_fullpel(cur32: np.ndarray, ref: np.ndarray, py: int, px: int,
                     search: int) -> tuple[int, int, int]:
-    """Exhaustive full-pel 16x16 SAD search around (0,0); returns
-    (sad, dy, dx) with the zero-vector/short-vector preference."""
+    """Exhaustive full-pel 16x16 SAD search around (0,0); returns the
+    TRUE (sad, dy, dx) of the winner — the zero-/short-vector
+    preference only tie-breaks the search, it does not inflate the
+    returned cost."""
     best = None
+    best_sad = 0
     y0lo, y0hi = max(-py, -search), min(ref.shape[0] - py - 16, search)
     x0lo, x0hi = max(-px, -search), min(ref.shape[1] - px - 16, search)
     for dy in range(y0lo, y0hi + 1):
@@ -534,7 +566,8 @@ def _search_fullpel(cur32: np.ndarray, ref: np.ndarray, py: int, px: int,
             key = (sad + (0 if dy == dx == 0 else 1), abs(dy) + abs(dx))
             if best is None or key < best[0]:
                 best = (key, dy, dx)
-    return best[0][0], best[1], best[2]
+                best_sad = sad
+    return best_sad, best[1], best[2]
 
 
 def _refine_halfpel(cur32: np.ndarray, ref: np.ndarray, py: int, px: int,
@@ -628,33 +661,8 @@ def _encode_b_picture(bw: _BW, cur, fwd, bwd, qscale: int, search: int,
 
             if intra_cost + 500 < sad:
                 bw.code("00011")           # B intra
-                pdc = pred_dc
-                pdc[0] = _encode_intra_block(bw, y, py, px, qscale,
-                                             pdc[0], False)
-                d2 = _encode_intra_block(bw, y, py, px + 8, qscale,
-                                         pdc[0], False)
-                d3 = _encode_intra_block(bw, y, py + 8, px, qscale,
-                                         d2, False)
-                pdc[0] = _encode_intra_block(bw, y, py + 8, px + 8,
-                                             qscale, d3, False)
-                pdc[1] = _encode_intra_block(bw, cb, cy, cx, qscale,
-                                             pdc[1], True)
-                pdc[2] = _encode_intra_block(bw, cr, cy, cx, qscale,
-                                             pdc[2], True)
-                for byy, bxx in ((0, 0), (0, 8), (8, 0), (8, 8)):
-                    blk = y[py + byy:py + byy + 8, px + bxx:px + bxx + 8]
-                    co = np.round(_fdct(blk)).astype(np.int64)
-                    lv = _quant_intra(co, qscale, _INTRA_Q)
-                    dcq = max(0, min(255, int(np.round(co[0, 0] / 8.0))))
-                    rec_y[py + byy:py + byy + 8, px + bxx:px + bxx + 8] = \
-                        _recon_intra_block(dcq, lv.reshape(64)[_ZZ], qscale)
-                for plane, rec in ((cb, rec_cb), (cr, rec_cr)):
-                    blk = plane[cy:cy + 8, cx:cx + 8]
-                    co = np.round(_fdct(blk)).astype(np.int64)
-                    lv = _quant_intra(co, qscale, _INTRA_Q)
-                    dcq = max(0, min(255, int(np.round(co[0, 0] / 8.0))))
-                    rec[cy:cy + 8, cx:cx + 8] = _recon_intra_block(
-                        dcq, lv.reshape(64)[_ZZ], qscale)
+                _encode_intra_mb(bw, y, cb, cr, rec_y, rec_cb, rec_cr,
+                                 py, px, cy, cx, qscale, pred_dc)
                 pmv["f"] = [0, 0]
                 pmv["b"] = [0, 0]
                 continue
@@ -729,7 +737,9 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
     (exercising the interpolating prediction on both sides). b_frames
     inserts that many bidirectionally-predicted pictures between
     anchors (transmit order anchor-first, the standard reorder; B
-    pictures are never reference frames). If `recon_out` is a list it
+    pictures are never reference frames; NOTE: with b_frames>0, gop
+    counts ANCHORS — the I-picture period becomes gop*(b_frames+1)
+    display frames). If `recon_out` is a list it
     receives the encoder's own reconstructed RGB frames in DISPLAY
     order — the decoder must reproduce these bit-exactly (closed-loop
     invariant; any mismatch means prediction drift)."""
@@ -737,6 +747,8 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
         raise ValueError("encode_mpeg1 needs (nf, h, w, 3) uint8 RGB")
     if not 1 <= qscale <= 31:
         raise ValueError("qscale must be 1..31")
+    if b_frames < 0:
+        raise ValueError("b_frames must be >= 0")
     nf, h, w = frames.shape[:3]
     if h % 2 or w % 2:
         raise ValueError("MPEG-1 4:2:0 needs even dimensions")
@@ -831,41 +843,14 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
                 vy2 = vx2 = 0          # half-sample units (prediction)
                 use_intra = is_i
                 if not is_i:
-                    # exhaustive full-pel search around (0,0)
-                    best = None
-                    y0lo = max(-py, -search)
-                    y0hi = min(y.shape[0] - py - 16, search)
-                    x0lo = max(-px, -search)
-                    x0hi = min(y.shape[1] - px - 16, search)
                     cur32 = cur_y.astype(np.int32)
-                    for dy in range(y0lo, y0hi + 1):
-                        for dx in range(x0lo, x0hi + 1):
-                            cand = ref_y[py + dy:py + dy + 16,
-                                         px + dx:px + dx + 16].astype(np.int32)
-                            sad = int(np.abs(cur32 - cand).sum())
-                            key = (sad + (0 if dy == dx == 0 else 1),
-                                   abs(dy) + abs(dx))
-                            if best is None or key < best[0]:
-                                best = (key, dy, dx)
-                    _k, by_, bx_ = best
-                    sad_mc = _k[0]
-                    vy2, vx2 = 2 * by_, 2 * bx_
-                    if not full_pel:
-                        # half-sample refinement around the integer winner
-                        for ey in (-1, 0, 1):
-                            for ex in (-1, 0, 1):
-                                cy2, cx2 = 2 * by_ + ey, 2 * bx_ + ex
-                                iy, hy = cy2 >> 1, cy2 & 1
-                                ix, hx = cx2 >> 1, cx2 & 1
-                                if (py + iy < 0 or px + ix < 0
-                                        or py + iy + 16 + hy > y.shape[0]
-                                        or px + ix + 16 + hx > y.shape[1]):
-                                    continue
-                                cand = _predict(ref_y, py, px, 16, 16,
-                                                cy2, cx2)
-                                sad = int(np.abs(cur32 - cand).sum())
-                                if sad < sad_mc:
-                                    sad_mc, vy2, vx2 = sad, cy2, cx2
+                    sad_mc, by_, bx_ = _search_fullpel(cur32, ref_y,
+                                                       py, px, search)
+                    if full_pel:
+                        vy2, vx2 = 2 * by_, 2 * bx_
+                    else:
+                        sad_mc, vy2, vx2 = _refine_halfpel(
+                            cur32, ref_y, py, px, sad_mc, by_, bx_)
                     mv_y = _half(vy2) if full_pel else vy2
                     mv_x = _half(vx2) if full_pel else vx2
                     intra_cost = int(np.abs(
@@ -936,35 +921,9 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
 
                 if emit_type == "intra":
                     bw.code("1" if is_i else "00011")
-                    pdc = pred_dc
-                    pdc[0] = _encode_intra_block(bw, y, py, px, qscale,
-                                                 pdc[0], False)
-                    d2 = _encode_intra_block(bw, y, py, px + 8, qscale,
-                                             pdc[0], False)
-                    d3 = _encode_intra_block(bw, y, py + 8, px, qscale,
-                                             d2, False)
-                    d4 = _encode_intra_block(bw, y, py + 8, px + 8, qscale,
-                                             d3, False)
-                    pdc[0] = d4
-                    pdc[1] = _encode_intra_block(bw, cb, cy, cx, qscale,
-                                                 pdc[1], True)
-                    pdc[2] = _encode_intra_block(bw, cr, cy, cx, qscale,
-                                                 pdc[2], True)
-                    # reconstruct for the reference picture (closed loop)
-                    for byy, bxx in ((0, 0), (0, 8), (8, 0), (8, 8)):
-                        blk = y[py + byy:py + byy + 8, px + bxx:px + bxx + 8]
-                        co = np.round(_fdct(blk)).astype(np.int64)
-                        lv = _quant_intra(co, qscale, _INTRA_Q)
-                        dcq = max(0, min(255, int(np.round(co[0, 0] / 8.0))))
-                        rec_y[py + byy:py + byy + 8, px + bxx:px + bxx + 8] = \
-                            _recon_intra_block(dcq, lv.reshape(64)[_ZZ], qscale)
-                    for plane, rec, ci in ((cb, rec_cb, 1), (cr, rec_cr, 2)):
-                        blk = plane[cy:cy + 8, cx:cx + 8]
-                        co = np.round(_fdct(blk)).astype(np.int64)
-                        lv = _quant_intra(co, qscale, _INTRA_Q)
-                        dcq = max(0, min(255, int(np.round(co[0, 0] / 8.0))))
-                        rec[cy:cy + 8, cx:cx + 8] = _recon_intra_block(
-                            dcq, lv.reshape(64)[_ZZ], qscale)
+                    _encode_intra_mb(bw, y, cb, cr, rec_y, rec_cb,
+                                     rec_cr, py, px, cy, cx, qscale,
+                                     pred_dc)
                     pmv_y = pmv_x = 0
                     continue
 

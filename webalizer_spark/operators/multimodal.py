@@ -18,8 +18,9 @@ feature/resize paths decode them like any external tool would.
 Progressive (SOF2) JPEG decodes natively too since round 5. Video ships
 as REAL YUV4MPEG2 (C420 luma) streams, REAL MJPEG AVIs
 (operators/avi.py — RIFF container, per-frame baseline JPEG) and REAL
-MPEG-1 elementary streams (operators/mpeg1.py — ISO 11172-2 I/P
-subset with motion-compensated forward prediction) any ffmpeg reads.
+MPEG-1 elementary streams (operators/mpeg1.py — ISO 11172-2 I/P/B
+subset with motion-compensated forward AND bidirectional prediction,
+decode-side reorder) any ffmpeg reads.
 Formats still needing external libraries (modern entropy-coded video
 codecs — H.264/VP9 in mp4/webm — ONLY) go through `_decode_real`,
 which raises
@@ -313,8 +314,9 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
     (i%6==2), REAL MJPEG AVIs (i%12==5), REAL ANIMATED GIFs
     (i%24==11), REAL INTER-FRAME FLCs (i%48==23 — DELTA_FLC coded
     frames) or REAL MOTION-COMPENSATED MPEG-1 streams (i%96==47 —
-    I/P pictures, alternating full-pel/half-pel vectors by fixture
-    block — i//96 parity),
+    block 0 rows are HALF-PEL I/P WITH B PICTURES, block 1 rows
+    full-pel I/P, so both vector modes and bidirectional prediction
+    are fixture-covered even at n=120),
     with i%96==95 on the self-describing fake container (standing in
     for modern entropy-coded codecs and keeping that branch
     fixture-covered); the i%96==45 image row is a REAL PROGRESSIVE
@@ -384,11 +386,14 @@ def gen_media(out_dir: str, n: int = 200, seed: int = 42) -> str:
             fr = np.stack([base[fi, fi % 8:fi % 8 + h2,
                                 fi % 8:fi % 8 + w2] for fi in range(nf)])
             # i%96==47 is always odd, so parity can't alternate the
-            # vector mode — alternate by fixture block instead: block 0
-            # = half-pel I/P, block 1 = full-pel with B pictures
+            # vector mode — alternate by fixture block instead. The
+            # FIRST block carries B pictures so the bidirectional path
+            # is covered even by the n=120 test fixture (whose only
+            # MPEG row is i=47); block 1 covers full-pel I/P.
+            blk = (i // 96) % 2
             payload = encode_mpeg1(fr, qscale=8, gop=4,
-                                   full_pel=bool((i // 96) % 2),
-                                   b_frames=(i // 96) % 2)
+                                   full_pel=bool(blk),
+                                   b_frames=1 - blk)
         elif kind == "video" and i % 48 == 23:
             from webalizer_spark.operators.flic import encode_flc
             base = rng.integers(0, 256, (h, w), dtype=np.uint8)
@@ -425,8 +430,8 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     BMP/PNG/JPEG (baseline grayscale+color AND progressive) + GIF
     images, WAV/FLAC audio, and y4m + MJPEG-AVI + animated-GIF +
     delta-coded FLC + MOTION-COMPENSATED MPEG-1 (operators/mpeg1.py,
-    I/P pictures with half-pel-capable forward prediction) video all
-    decode natively above."""
+    I/P/B pictures with half-pel-capable forward and bidirectional
+    prediction) video all decode natively above."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
