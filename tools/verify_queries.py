@@ -6,6 +6,11 @@ value representation (rows sorted, columns sorted by name, values
 stringified with exact float repr — stricter than any reasonable hash).
 
 Usage: python tools/verify_queries.py [sf_dir] [name_prefix]
+       python tools/verify_queries.py --ungraded [sf_dir] [name_prefix]
+
+--ungraded walks the UNGRADED registry instead (the rows the graded
+50-row window can't hold — they grade locally through the same canon
+comparison); entries without an oracle report as SKIP/rows-only.
 """
 
 from __future__ import annotations
@@ -43,13 +48,20 @@ def canon(df) -> tuple[list[str], list[tuple]]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    args = [a for a in sys.argv[1:] if a != "--ungraded"]
+    ungraded = "--ungraded" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    prefix = args[1] if len(args) > 1 else ""
 
     import duckdb
 
-    from webalizer_spark import get_spark
     from webalizer_spark.queries import ORACLE, QUERIES
+    if ungraded:
+        import webalizer_spark.queries_synth  # noqa: F401 — registers tr2_*
+        from webalizer_spark.queries import UNGRADED, UNGRADED_ORACLE
+        QUERIES, ORACLE = UNGRADED, UNGRADED_ORACLE  # noqa: N806
+
+    from webalizer_spark import get_spark
 
     spark = get_spark(extra_confs={"spark.ui.showConsoleProgress": "false"})
     con = duckdb.connect()
