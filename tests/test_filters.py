@@ -77,3 +77,46 @@ def test_group_name_first_match(spark):
            df.withColumn("g", group_name(F.col("v"), groups)).collect()}
     assert got == {"python": "python-tools", "pyspark": "python-tools",
                    "sql": "l-suffix", "read": "readers"}
+
+
+def test_enrich_ip_class_longest_prefix(spark):
+    """CIDR classification: longest prefix wins over covering blocks,
+    /32 host routes beat everything, malformed/unmatched IPs take the
+    default, ip_aton validates octets, bad CIDR specs refuse, and the
+    plan is join-free (literal block array, per-row HOFs only)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from webalizer_spark.operators.enrich import enrich_ip_class, ip_aton
+
+    df = spark.createDataFrame(
+        [(1, "10.1.2.3"),        # /8 only
+         (2, "10.64.0.9"),       # /8 + /10 -> /10 wins
+         (3, "10.64.77.1"),      # /8 + /10 + /24 -> /24 wins
+         (4, "10.64.77.200"),    # /32 host route beats the /24
+         (5, "192.168.1.1"),     # unmatched
+         (6, "999.1.2.3"),       # malformed octet
+         (7, "not an ip"),
+         (8, None)],
+        "doc_id long, actor string")
+    blocks = [("10.0.0.0/8", "corp"), ("10.64.0.0/10", "lab"),
+              ("10.64.77.0/24", "rack"), ("10.64.77.200/32", "host")]
+    got = {r["doc_id"]: r["ip_class"]
+           for r in enrich_ip_class(df, blocks).collect()}
+    assert got == {1: "corp", 2: "lab", 3: "rack", 4: "host",
+                   5: "unknown", 6: "unknown", 7: "unknown", 8: "unknown"}
+
+    aton = {r["doc_id"]: r["v"] for r in
+            df.select("doc_id", ip_aton(F.col("actor")).alias("v"))
+            .collect()}
+    assert aton[1] == 10 * 16777216 + 1 * 65536 + 2 * 256 + 3
+    assert aton[6] is None and aton[7] is None and aton[8] is None
+
+    with pytest.raises(ValueError, match="prefix length"):
+        enrich_ip_class(df, [("10.0.0.0/40", "x")])
+    with pytest.raises(ValueError, match="address"):
+        enrich_ip_class(df, [("10.0.0/8", "x")])
+
+    plan = enrich_ip_class(df, blocks)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan

@@ -33,7 +33,7 @@ def test_ungraded_split_and_redact_match_duckdb(spark):
                  "doc_mixture_rows", "doc_tfidf_top", "evt_pagerank",
                  "doc_chunks", "doc_blocklist", "doc_normalize",
                  "evt_anomalies", "evt_cohorts", "evt_funnel",
-                 "doc_quality_bins"):
+                 "doc_quality_bins", "evt_ip_class"):
         sdf = UNGRADED[name](spark, SF).toPandas()
         odf = con.sql(UNGRADED_ORACLE[name]).df()
         sc, sr = canon(sdf)

@@ -96,3 +96,67 @@ def enrich_all(df: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
     out = enrich_size_class(out, dims["byte_ranges"])
     out = enrich_search_terms(out, dims["engine_params"])
     return out
+
+
+def ip_aton(col: F.Column) -> F.Column:
+    """Dotted-quad IPv4 string -> unsigned 32-bit value as bigint,
+    pure codegen expressions (no UDF); malformed input yields NULL."""
+    p = F.split(col, r"\.")
+    octets = [F.get(p, i).try_cast("bigint") for i in range(4)]
+    valid = (F.size(p) == 4)
+    for o in octets:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    val = (octets[0] * 16777216 + octets[1] * 65536
+           + octets[2] * 256 + octets[3])
+    return F.when(valid, val)
+
+
+def _cidr_bounds(cidr: str) -> tuple[int, int, int]:
+    """'a.b.c.d/n' -> (start, end, prefix_len); validates the mask."""
+    ip, _, plen_s = cidr.partition("/")
+    plen = int(plen_s) if plen_s else 32
+    if not 0 <= plen <= 32:
+        raise ValueError(f"bad CIDR prefix length in {cidr!r}")
+    parts = [int(x) for x in ip.split(".")]
+    if len(parts) != 4 or any(not 0 <= x <= 255 for x in parts):
+        raise ValueError(f"bad CIDR address in {cidr!r}")
+    base = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+    mask = ((1 << plen) - 1) << (32 - plen) if plen else 0
+    start = base & mask
+    return start, start | (~mask & 0xFFFFFFFF), plen
+
+
+def enrich_ip_class(df: DataFrame, blocks: list[tuple[str, str]],
+                    ip_col: str = "actor",
+                    out_col: str = "ip_class",
+                    default: str = "unknown") -> DataFrame:
+    """Longest-prefix-match CIDR classification — the GeoIP/netblock
+    recast of the reference's country table `[webalizer.c ƒctry
+    hostname-TLD mapping (U)]`: each row's IPv4 gets the class of the
+    MOST SPECIFIC matching block (real CIDR semantics — an overlapping
+    /24 inside a /8 wins), NULL/malformed/unmatched rows the default.
+
+    100 TB shape: the block table is bounded config, so it rides the
+    plan as a LITERAL struct array and the whole classification is one
+    per-row higher-order filter + sort — no join, no broadcast
+    Exchange, no shuffle of any kind (stronger than the J3 range-join
+    shape: even the tiny dim never materializes as a relation)."""
+    rows = []
+    for cidr, cls in blocks:
+        start, end, plen = _cidr_bounds(cidr)
+        rows.append(F.struct(F.lit(start).alias("s"),
+                             F.lit(end).alias("e"),
+                             F.lit(plen).alias("p"),
+                             F.lit(cls).alias("c")))
+    blk = F.array(*rows)
+    ip = ip_aton(F.col(ip_col))
+    matches = F.filter(blk, lambda b: (ip >= b["s"]) & (ip <= b["e"]))
+    # longest prefix wins: sort matches by prefix length ascending and
+    # take the last (two equal-length blocks can't both contain one ip
+    # unless they're the same block, so no further tie-break exists)
+    best = F.get(F.reverse(F.array_sort(
+        matches, lambda a, b: F.when(a["p"] < b["p"], -1)
+        .when(a["p"] > b["p"], 1).otherwise(0))), 0)
+    return df.withColumn(
+        out_col,
+        F.coalesce(best["c"], F.lit(default)))

@@ -1888,6 +1888,53 @@ def doc_quality_bins(spark, sf):
                          "n_chars", n_bins=4)
 
 
+@qu("evt_ip_class", """
+WITH ips AS (
+  SELECT ('10.' || (user_id % 200) || '.' || (user_id % 250)
+          || '.' || (user_id % 97)) AS ip,
+         (10 * 16777216 + (user_id % 200) * 65536
+          + (user_id % 250) * 256 + (user_id % 97)) AS ipv
+  FROM events
+),
+cls AS (
+  SELECT ip,
+         CASE
+           -- longest prefix wins: the /10 carve-out inside the /9s
+           WHEN ipv BETWEEN (10 * 16777216 + 64 * 65536)
+                        AND (10 * 16777216 + 127 * 65536 + 65535)
+             THEN 'mid'
+           WHEN ipv <  (10 * 16777216 + 128 * 65536) THEN 'lower'
+           ELSE 'upper'
+         END AS ip_class
+  FROM ips
+)
+SELECT ip_class, CAST(COUNT(*) AS BIGINT) AS hits
+FROM cls GROUP BY 1
+""")
+def evt_ip_class(spark, sf):
+    """Longest-prefix-match CIDR classification (ungraded): client IPs
+    derived from events (the tr2_alb rule) classified against
+    overlapping netblocks — a /10 carved out of two covering /9s, so
+    the most-specific-match rule is what's under test
+    (enrich.enrich_ip_class — literal struct-array blocks, per-row HOF
+    filter + sort, NO join or Exchange of any kind; the GeoIP recast
+    of the reference's country table). The oracle re-derives the
+    integer IP and the prefix-priority CASE directly from the id
+    rules, no parsing involved."""
+    from webalizer_spark.operators.enrich import enrich_ip_class
+
+    ev = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    uid = F.col("user_id")
+    ips = ev.select(F.concat(F.lit("10."), s(uid % 200), F.lit("."),
+                             s(uid % 250), F.lit("."), s(uid % 97))
+                    .alias("actor"))
+    out = enrich_ip_class(ips, [("10.0.0.0/9", "lower"),
+                                ("10.128.0.0/9", "upper"),
+                                ("10.64.0.0/10", "mid")])
+    return out.groupBy("ip_class").agg(F.count(F.lit(1)).alias("hits"))
+
+
 @qu("evt_cohorts", """
 WITH first AS (
   SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort_day
