@@ -314,3 +314,38 @@ def test_month_boundary_visit_counts_once(spark):
     merged = merge_daily(resumed, ckpt).collect()
     assert sum(r["visits"] for r in merged) == 2
     shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_compact_keeps_live_state_resumable(spark, parsed_ok, halves):
+    """Checkpoint GC: after three saves, compact(keep_last=1) deletes
+    the old version dirs, never the manifest-pointed one, and the
+    surviving snapshot still resumes correctly (the merged daily state
+    equals the full-run derivation). keep_last<1 refuses; a second
+    compact is a no-op."""
+    import os
+
+    from webalizer_spark.plans.checkpoint import compact
+
+    first, second = halves
+    shutil.rmtree(CKPT, ignore_errors=True)
+    ckpt = CheckpointPaths(CKPT)
+    s1 = sessionize(first)
+    save_state(s1, ckpt)                   # v=1
+    save_state(resume_sessionize(resume_filter(second, ckpt), ckpt),
+               ckpt)                       # v=2
+    save_state(s1, ckpt)                   # v=3 (re-merge, non-empty)
+
+    vdirs = lambda: sorted(d for d in os.listdir(CKPT)  # noqa: E731
+                           if d.startswith("v="))
+    assert vdirs() == ["v=1", "v=2", "v=3"]
+    deleted = compact(ckpt, keep_last=1)
+    assert deleted == [1, 2]
+    assert vdirs() == ["v=3"]
+    assert load_manifest(ckpt)["version"] == 3
+    # live snapshot still loads: resuming on the compacted state works
+    assert resume_filter(second, ckpt).count() == 0   # all below watermark
+    assert compact(ckpt, keep_last=1) == []           # idempotent
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep_last"):
+        compact(ckpt, keep_last=0)

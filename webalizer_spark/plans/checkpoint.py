@@ -297,3 +297,34 @@ def merge_daily(new_sessions: DataFrame, ckpt: CheckpointPaths) -> DataFrame:
     sites = presence.groupBy("day_ts").agg(
         F.countDistinct("conv_id").alias("sites"))
     return additive.join(sites, "day_ts", "left")
+
+
+def compact(ckpt: CheckpointPaths, keep_last: int = 2) -> list[int]:
+    """Checkpoint GC: delete version directories older than the newest
+    keep_last, NEVER including the manifest-pointed version (so a
+    crash mid-compact can't orphan the live snapshot — deletion order
+    is oldest-first and the pointer is untouched). Returns the deleted
+    version numbers. The operational complement of save_state's
+    write-then-rename discipline: without it a long-lived incremental
+    deployment accumulates one full state copy per batch forever
+    (the reference overwrites webalizer.current in place and has no
+    such problem — versioning bought torn-write safety at the price
+    of this GC `[preserve.c ƒsave_state single-file overwrite (U)]`)."""
+    import re
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    live = ckpt._version()
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(ckpt.base) if os.path.isdir(
+            os.path.join(ckpt.base, d))
+        for m in [re.fullmatch(r"v=(\d+)", d)] if m)
+    keep = set(sorted(versions)[-keep_last:]) | {live}
+    deleted = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(ckpt.base, f"v={v}"))
+            deleted.append(v)
+    return deleted
