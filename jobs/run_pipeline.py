@@ -66,6 +66,11 @@ def main() -> None:
                     help="dimension tables location (default: same as input)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--keep-checkpoints", type=int, default=None,
+                    metavar="N",
+                    help="after saving state, GC checkpoint versions "
+                         "older than the newest N (the live snapshot "
+                         "always survives); default: keep all")
     ap.add_argument("--incremental", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="resume from checkpoint; --no-incremental disables "
@@ -90,6 +95,7 @@ def main() -> None:
     from webalizer_spark import get_spark
     from webalizer_spark.plans.checkpoint import (
         CheckpointPaths,
+        compact,
         resume_filter,
         resume_sessionize,
         save_state,
@@ -143,6 +149,10 @@ def main() -> None:
                        for c in ["hits", "files", "pages", "errors",
                                  "bytes", "visits"]]))
         io_out.merge(hist, "history", ["month_ts"])
+        if args.keep_checkpoints is not None:
+            gone = compact(ckpt, keep_last=args.keep_checkpoints)
+            if gone:
+                print(f"checkpoint GC: removed versions {gone}")
     sec = time.time() - t0
     total = sum(v for k, v in counts.items()
                 if k in ("errors", "by_role"))
