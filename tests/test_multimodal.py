@@ -669,7 +669,7 @@ def test_fixture_contains_real_flc(spark, media):
 
 
 def test_mpeg1_codec_closed_loop():
-    """MPEG-1 (ISO 11172-2 I/P subset) is a REAL MOTION-COMPENSATED
+    """MPEG-1 (ISO 11172-2 I/P/B subset) is a REAL MOTION-COMPENSATED
     codec: the decoder reproduces the encoder's own reconstruction
     BIT-EXACTLY across a full GOP (any mismatch would be P-frame
     drift), in both full-pel and half-pel vector modes, and inter
