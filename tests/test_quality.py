@@ -400,3 +400,46 @@ def test_quantile_bins_semantics(spark):
     plan = quantile_bins(df, "s")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_normalize_text_idempotent(spark):
+    """Normalization is a projection: applying the pass to its own
+    output changes nothing (NFC and NFKC are idempotent, the collapse
+    and strip leave no residue), so changed=False on every second-pass
+    row."""
+    from webalizer_spark.operators.quality import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "éclair  x\x01 ligature ﬁ end\t"),
+         (2, "plain"),
+         (3, None)],
+        "doc_id long, text string")
+    for form in ("NFC", "NFKC"):
+        once = normalize_text(docs, form=form)
+        twice = normalize_text(once, form=form)
+        rows = {r["doc_id"]: r for r in twice.collect()}
+        assert not any(r["changed"] for r in rows.values())
+        first = {r["doc_id"]: r["text"] for r in once.collect()}
+        assert {k: v["text"] for k, v in rows.items()} == first
+
+
+def test_tf_idf_min_df_prunes_hapax(spark):
+    """min_df drops terms below the document-frequency floor BEFORE the
+    weight join (the Zipf-tail prune): hapax terms vanish at min_df=2
+    while shared terms keep exact tf/df; idf is the smoothed form."""
+    import math
+
+    from webalizer_spark.operators.quality import tf_idf
+
+    docs = _docs(spark, [(1, "apple banana apple"),
+                         (2, "banana cherry"),
+                         (3, "banana")])
+    out = {(r["doc_id"], r["term"]): r
+           for r in tf_idf(docs, min_df=2).collect()}
+    assert all(t == "banana" for _, t in out)      # apple/cherry pruned
+    assert out[(1, "banana")]["tf"] == 1 and out[(1, "banana")]["df"] == 3
+    expect = round(1 * (math.log((3 + 1) / (3 + 1)) + 1.0), 6)
+    assert out[(3, "banana")]["tfidf"] == expect   # idf = 1 at df == N
+
+    allterms = {r["term"] for r in tf_idf(docs, min_df=1).collect()}
+    assert allterms == {"apple", "banana", "cherry"}
