@@ -91,6 +91,11 @@ def main() -> None:
                          "MangleAgents, Incremental) — a reference user's "
                          "existing conf drives this engine unchanged")
     args = ap.parse_args()
+    if args.keep_checkpoints is not None:
+        if args.keep_checkpoints < 1:
+            ap.error("--keep-checkpoints must be >= 1")
+        if args.checkpoint is None:
+            ap.error("--keep-checkpoints requires --checkpoint")
 
     from webalizer_spark import get_spark
     from webalizer_spark.plans.checkpoint import (

@@ -120,3 +120,31 @@ def test_enrich_ip_class_longest_prefix(spark):
     plan = enrich_ip_class(df, blocks)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_enrich_ip_class_edge_configs(spark):
+    """Empty block list classifies everything as the default (no VOID
+    crash); malformed CIDR strings refuse with the spec named; the
+    parsed ip materializes once per row (the plan contains ONE split
+    of the ip column, not one per block comparison)."""
+    import pytest
+
+    from webalizer_spark.operators.enrich import enrich_ip_class
+
+    df = spark.createDataFrame([(1, "10.1.2.3")], "doc_id long, actor string")
+    assert enrich_ip_class(df, []).collect()[0]["ip_class"] == "unknown"
+    with pytest.raises(ValueError, match="prefix length in '10.0.0.0/abc'"):
+        enrich_ip_class(df, [("10.0.0.0/abc", "x")])
+    with pytest.raises(ValueError, match="address in '10.a.0.0/8'"):
+        enrich_ip_class(df, [("10.a.0.0/8", "x")])
+
+    # the parsed ip materializes once: the split() count in the plan
+    # must NOT scale with the block count (pre-fix it was per-block,
+    # per-comparison inside the interpreted HOF lambda)
+    def nsplit(n):
+        blocks = [(f"10.{i}.0.0/16", f"c{i}") for i in range(n)]
+        plan = enrich_ip_class(df, blocks)._jdf.queryExecution() \
+            .executedPlan().toString()
+        return plan.count("split(actor")
+
+    assert nsplit(2) == nsplit(16)

@@ -55,9 +55,10 @@ def main() -> int:
 
     import duckdb
 
+    # importing queries pulls in queries_synth (tr2_* registration +
+    # finalize) on every path — no separate import needed
     from webalizer_spark.queries import ORACLE, QUERIES
     if ungraded:
-        import webalizer_spark.queries_synth  # noqa: F401 — registers tr2_*
         from webalizer_spark.queries import UNGRADED, UNGRADED_ORACLE
         QUERIES, ORACLE = UNGRADED, UNGRADED_ORACLE  # noqa: N806
 

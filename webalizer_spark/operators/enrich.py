@@ -114,10 +114,16 @@ def ip_aton(col: F.Column) -> F.Column:
 def _cidr_bounds(cidr: str) -> tuple[int, int, int]:
     """'a.b.c.d/n' -> (start, end, prefix_len); validates the mask."""
     ip, _, plen_s = cidr.partition("/")
-    plen = int(plen_s) if plen_s else 32
+    try:
+        plen = int(plen_s) if plen_s else 32
+    except ValueError:
+        raise ValueError(f"bad CIDR prefix length in {cidr!r}") from None
     if not 0 <= plen <= 32:
         raise ValueError(f"bad CIDR prefix length in {cidr!r}")
-    parts = [int(x) for x in ip.split(".")]
+    try:
+        parts = [int(x) for x in ip.split(".")]
+    except ValueError:
+        raise ValueError(f"bad CIDR address in {cidr!r}") from None
     if len(parts) != 4 or any(not 0 <= x <= 255 for x in parts):
         raise ValueError(f"bad CIDR address in {cidr!r}")
     base = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
@@ -141,6 +147,11 @@ def enrich_ip_class(df: DataFrame, blocks: list[tuple[str, str]],
     per-row higher-order filter + sort — no join, no broadcast
     Exchange, no shuffle of any kind (stronger than the J3 range-join
     shape: even the tiny dim never materializes as a relation)."""
+    if not blocks:
+        # no netblocks configured: everything is the default class
+        # (an empty literal array would type as VOID and crash the
+        # struct-field access with an opaque AnalysisException)
+        return df.withColumn(out_col, F.lit(default))
     rows = []
     for cidr, cls in blocks:
         start, end, plen = _cidr_bounds(cidr)
@@ -149,7 +160,11 @@ def enrich_ip_class(df: DataFrame, blocks: list[tuple[str, str]],
                              F.lit(plen).alias("p"),
                              F.lit(cls).alias("c")))
     blk = F.array(*rows)
-    ip = ip_aton(F.col(ip_col))
+    # materialize the parsed ip ONCE per row: HOF lambdas are
+    # interpreted without common-subexpression elimination, so an
+    # inlined ip_aton would re-run its split/cast tree per block
+    # element per comparison
+    ip = F.col("_ip_v")
     matches = F.filter(blk, lambda b: (ip >= b["s"]) & (ip <= b["e"]))
     # longest prefix wins: sort matches by prefix length ascending and
     # take the last (two equal-length blocks can't both contain one ip
@@ -157,6 +172,6 @@ def enrich_ip_class(df: DataFrame, blocks: list[tuple[str, str]],
     best = F.get(F.reverse(F.array_sort(
         matches, lambda a, b: F.when(a["p"] < b["p"], -1)
         .when(a["p"] > b["p"], 1).otherwise(0))), 0)
-    return df.withColumn(
-        out_col,
-        F.coalesce(best["c"], F.lit(default)))
+    return (df.withColumn("_ip_v", ip_aton(F.col(ip_col)))
+            .withColumn(out_col, F.coalesce(best["c"], F.lit(default)))
+            .drop("_ip_v"))
