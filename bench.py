@@ -131,12 +131,8 @@ def _median_merge(samples: list[dict]) -> dict:
                      "turns_per_sec": round(turns / med_pipe_sec, 1),
                      "sec_samples": pipe_secs},
         "protocol": f"median of {len(samples)} fresh-JVM samples "
-                    "(subprocess per sample, nothing warm-shared)",
-        "samples": [{"value": s["value"], "queries": s["queries"],
-                     "pipeline": s["pipeline"],
-                     "loadavg_before": s.get("loadavg_before"),
-                     "loadavg_after": s.get("loadavg_after")}
-                    for s in samples],
+                    "(subprocess per sample, nothing warm-shared; raw "
+                    "samples on earlier '# raw_sample' stdout lines)",
     })
     return merged
 
@@ -166,6 +162,17 @@ def _parent() -> None:
               f"{load_before}->{rec['loadavg_after']}",
               file=sys.stderr, flush=True)
     probe_after = _cpu_probe()
+    # raw per-sample records go to stdout as non-final commented lines
+    # (full fidelity for humans / BENCH.md), keeping the LAST stdout
+    # line a compact medians-only object the driver's tail capture can
+    # always parse — round 5's inline-samples line outgrew it
+    # ("parsed": null in BENCH_r05.json)
+    for i, s in enumerate(samples):
+        print(f"# raw_sample {i}: " + json.dumps(
+            {"value": s["value"], "queries": s["queries"],
+             "pipeline": s["pipeline"],
+             "loadavg_before": s.get("loadavg_before"),
+             "loadavg_after": s.get("loadavg_after")}), flush=True)
     merged = _median_merge(samples)
     merged["load"] = {"before": samples[0]["loadavg_before"],
                       "after": samples[-1]["loadavg_after"]}

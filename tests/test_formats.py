@@ -281,3 +281,33 @@ def test_parse_multi_fuzz_never_crashes(spark):
                 assert r["nbytes"] is not None
 
     prop()
+
+
+def test_json_iso8601_offset_forms(spark):
+    """Round-5 advice: nginx time_iso8601 emits COLON offsets
+    (+03:00) on non-UTC boxes — a bare ssX pattern NULLs them. All
+    four public ISO-8601 offset shapes must parse to the same UTC
+    instant."""
+    import datetime as dt
+
+    from webalizer_spark.operators.parse import parse_transcripts_multi
+
+    forms = [
+        "2024-01-16T10:00:00Z",          # UTC designator
+        "2024-01-16T13:00:00+03:00",     # colon offset (nginx shape)
+        "2024-01-16T13:00:00+03",        # hour-only offset
+        "2024-01-16T06:30:00-03:30",     # negative half-hour offset
+        "2024-01-16T13:00:00+0300",      # compact 4-digit offset
+    ]
+    rows = [f'{{"ip":"10.0.0.{i}","time":"{t}","method":"GET",'
+            f'"path":"/x","status":200,"bytes":1}}'
+            for i, t in enumerate(forms)]
+    df = spark.createDataFrame(
+        [(str(i), i, "user", r, None, None) for i, r in enumerate(rows)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    out = {r["turn_idx"]: r for r in parse_transcripts_multi(df).collect()}
+    want = dt.datetime(2024, 1, 16, 10, 0, 0)
+    for i in range(len(forms)):
+        assert out[i]["parse_ok"], forms[i]
+        assert out[i]["ts_text"] == want, forms[i]

@@ -931,3 +931,39 @@ def test_mpeg1_b_pictures():
     ipb = len(bs)
     ip = len(encode_mpeg1(frames, qscale=4, gop=4, b_frames=0))
     assert ipb < ip
+
+
+def test_fake_container_never_misroutes_to_flic():
+    """Round-5 advice: a fake-container payload whose width field's low
+    16 bits equal FLIC's magic (w=44818 -> bytes 4:6 == 12 AF) must hit
+    the exact 4-byte WSMM check first, not the weak offset-4 FLIC
+    sniff."""
+    import struct
+
+    from webalizer_spark.operators.multimodal import _MAGIC, decode_media
+
+    w, h = 44818, 1                    # 44818 & 0xFFFF == 0xAF12
+    body = bytes(range(256)) * (w * h // 256 + 1)
+    payload = _MAGIC + struct.pack("<IIII", w, h, 0, 0) + body[: w * h]
+    arr, shape = decode_media(payload, "image")
+    assert shape == (h, w)
+    assert arr[0, 0] == 0 and arr[0, 255] == 255
+
+
+def test_flic_sniff_requires_depth_8():
+    """A non-WSMM blob with FLIC's 2-byte magic at offset 4 but an
+    implausible depth field must NOT be routed to decode_flc."""
+    import struct
+
+    import pytest
+
+    from webalizer_spark.operators.multimodal import decode_media
+
+    blob = struct.pack("<IHHHHHH", 128, 0xAF12, 1, 8, 8, 24, 3)
+    blob += b"\x00" * 128
+    # depth 24 is not a FLIC depth -> falls through to _decode_real,
+    # which raises (no external libs in-sandbox) instead of decode_flc
+    # raising a corrupt-FLIC error
+    with pytest.raises(Exception) as ei:
+        decode_media(blob, "video")
+    assert "FLC" not in str(ei.value)

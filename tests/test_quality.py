@@ -443,3 +443,18 @@ def test_tf_idf_min_df_prunes_hapax(spark):
 
     allterms = {r["term"] for r in tf_idf(docs, min_df=1).collect()}
     assert allterms == {"apple", "banana", "cherry"}
+
+
+def test_lm_perplexity_rejects_lm_without_unk(spark):
+    """Round-5 advice: a caller-supplied lm with no NULL-token row used
+    to crossJoin an empty frame and silently drop every doc; it must
+    raise instead."""
+    import pytest
+
+    from webalizer_spark.operators.quality import lm_perplexity
+
+    bad_lm = spark.createDataFrame(
+        [("a", 0.5), ("b", -1.0)], "token string, logp double")
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="UNK"):
+        lm_perplexity(docs, lm=bad_lm)

@@ -1,6 +1,12 @@
 from __future__ import annotations
 
-from webalizer_spark.queries import UNGRADED, UNGRADED_ORACLE
+from webalizer_spark.queries import (ORACLE, QUERIES, UNGRADED,
+                                     UNGRADED_ORACLE)
+
+# registry-agnostic lookups: graded-window rotations move rows
+# between QUERIES and UNGRADED without changing what they compute
+ALL_Q = {**UNGRADED, **QUERIES}
+ALL_O = {**UNGRADED_ORACLE, **ORACLE}
 
 SF = "/root/testdata/sf0.01"
 
@@ -34,8 +40,8 @@ def test_ungraded_split_and_redact_match_duckdb(spark):
                  "doc_chunks", "doc_blocklist", "doc_normalize",
                  "evt_anomalies", "evt_cohorts", "evt_funnel",
                  "doc_quality_bins", "evt_ip_class"):
-        sdf = UNGRADED[name](spark, SF).toPandas()
-        odf = con.sql(UNGRADED_ORACLE[name]).df()
+        sdf = ALL_Q[name](spark, SF).toPandas()
+        odf = con.sql(ALL_O[name]).df()
         sc, sr = canon(sdf)
         oc, orows = canon(odf)
         assert sc == oc, (name, sc, oc)
@@ -51,7 +57,7 @@ def test_approx_distinct_tolerance(spark):
              ev.groupBy(F.date_trunc("day", "ts").alias("day_ts"))
                .agg(F.countDistinct("user_id").alias("sites")).collect()}
     approx = {r["day_ts"]: r["approx_sites"] for r in
-              UNGRADED["evt_approx_distinct"](spark, SF).collect()}
+              ALL_Q["evt_approx_distinct"](spark, SF).collect()}
     assert set(exact) == set(approx)
     for d, e in exact.items():
         assert abs(approx[d] - e) <= max(2, 0.15 * e), (d, e, approx[d])

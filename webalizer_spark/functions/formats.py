@@ -138,8 +138,13 @@ TS_PATTERNS = {
     "combined": "dd/MMM/yyyy:HH:mm:ss Z",
     "xferlog": "MMM d HH:mm:ss yyyy",
     "w3c": "yyyy-MM-dd HH:mm:ss",
-    # json also falls back to epoch seconds (parse.py coalesces)
-    "json": "yyyy-MM-dd'T'HH:mm:ssX",
+    # json coalesces three offset shapes + an epoch-seconds fallback in
+    # parse.py: XXX = colon form (+03:00 — nginx time_iso8601's shape,
+    # also Z), X = Z / +03 / +0300. A single X pattern cannot parse the
+    # colon form (verified: Spark 4.1.2 returns NULL), so non-UTC nginx
+    # JSON logs need the XXX attempt first.
+    "json": "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "json_nocolon": "yyyy-MM-dd'T'HH:mm:ssX",
     "alb": "yyyy-MM-dd'T'HH:mm:ss",
 }
 

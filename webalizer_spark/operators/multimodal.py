@@ -457,6 +457,12 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
     """Magic-sniffing codec dispatch: real BMP/PNG/WAV decoders first,
     the deterministic fake container next, external-library formats
     last."""
+    if payload[:4] == _MAGIC:
+        # exact 4-byte container magic checked FIRST: the FLIC sniff
+        # below is only 2 bytes at offset 4, and a fake payload whose
+        # width field's low 16 bits happen to equal 0xAF12/0xAF11
+        # would misroute to decode_flc (round-5 advice)
+        return _decode_fake(payload, kind)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:9] == b"YUV4MPEG2":
@@ -492,15 +498,18 @@ def decode_media(payload: bytes, kind: str) -> tuple[np.ndarray, tuple[int, ...]
     if payload[:4] == b"\x00\x00\x01\xb3":
         from webalizer_spark.operators.mpeg1 import decode_mpeg1
         return decode_mpeg1(payload)
-    if len(payload) >= 6 and payload[4:6] in (b"\x12\xaf", b"\x11\xaf"):
+    if (len(payload) >= 14
+            and payload[4:6] in (b"\x12\xaf", b"\x11\xaf")
+            and payload[12:14] == b"\x08\x00"):
+        # FLIC's magic is weak (2 bytes at offset 4), so also require a
+        # plausible header: depth field == 8, the only depth FLI/FLC
+        # defines
         from webalizer_spark.operators.flic import decode_flc
         return decode_flc(payload)
     if payload[:4] == b"fLaC":
         from webalizer_spark.operators.flac import decode_flac
         samples, _sr = decode_flac(payload)
         return samples, (len(samples),)
-    if payload[:4] == _MAGIC:
-        return _decode_fake(payload, kind)
     arr = _decode_real(payload, kind)
     return arr, tuple(arr.shape)
 

@@ -119,11 +119,15 @@ def parse_transcripts_multi(
         .when(fmt == "alb",
               F.try_to_timestamp(F.col("dt_text"), F.lit(TS_PATTERNS["alb"])))
         .when(fmt == "json",
-              # ISO-8601 first (nginx time_iso8601), epoch-seconds
-              # fallback (collectors that emit "ts": 1705399200)
+              # ISO-8601 first — colon offset (+03:00 / Z, nginx
+              # time_iso8601), then compact offset (+03 / +0300 / Z) —
+              # epoch-seconds fallback last (collectors that emit
+              # "ts": 1705399200)
               F.coalesce(
                   F.try_to_timestamp(F.col("dt_text"),
                                      F.lit(TS_PATTERNS["json"])),
+                  F.try_to_timestamp(F.col("dt_text"),
+                                     F.lit(TS_PATTERNS["json_nocolon"])),
                   F.timestamp_seconds(F.col("dt_text").try_cast("long"))))
         .otherwise(F.try_to_timestamp(F.col("dt_text"), F.lit(SPARK_TS_FMT)))
     )

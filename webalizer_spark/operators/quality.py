@@ -279,6 +279,16 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame | None = None,
         lm = unigram_logprobs(docs, text_col, alpha)
     unk = lm.where(F.col("token").isNull()) \
             .select(F.col("logp").alias("_unk_logp"))
+    # a caller-supplied lm without exactly one NULL-token (UNK) row
+    # would make the crossJoin below silently empty the result (0 UNK
+    # rows) or duplicate every token (>1); fail loudly instead. The
+    # count is on the tiny broadcast-sized lm, not the corpus.
+    n_unk = unk.limit(2).count()
+    if n_unk != 1:
+        raise ValueError(
+            f"lm must contain exactly one NULL-token (UNK) row, found "
+            f"{'0' if n_unk == 0 else '>=2'} — train it with "
+            "unigram_logprobs() or add the UNK fallback row")
     toks = (docs.select(id_col, F.explode(_toks(text_col)).alias("token")))
     scored = (toks
               .join(F.broadcast(lm.where(F.col("token").isNotNull())),

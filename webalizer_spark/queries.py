@@ -104,7 +104,7 @@ def evt_top_event_types(spark, sf):
     return with_share(agg, "hits")
 
 
-@q("evt_hourly_totals", f"""
+@qu("evt_hourly_totals", f"""
 SELECT date_trunc('hour', ts) AS hour_ts,
        COUNT(*) AS hits,
        COUNT(DISTINCT user_id) AS sites,
@@ -194,7 +194,7 @@ def evt_sessions_per_user(spark, sf):
     )
 
 
-@q("evt_month_summary", _SESSION_CTE + """
+@qu("evt_month_summary", _SESSION_CTE + """
 , daily AS (
   SELECT date_trunc('day', ts) AS day_ts, COUNT(*) AS hits,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -312,7 +312,7 @@ def evt_type_share(spark, sf):
     return with_share(agg, "hits")
 
 
-@q("evt_json_extract", """
+@qu("evt_json_extract", """
 SELECT event_type,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(*) AS hits
@@ -408,7 +408,7 @@ def evt_rollup(spark, sf):
 # TPC-H-ish tables — general agg/join operator evidence (S1, J1-J2, A*, T*)
 # =========================================================================
 
-@q("tpch_pricing_summary", f"""
+@qu("tpch_pricing_summary", f"""
 SELECT l_returnflag, l_linestatus,
        {_DSUM_SQL.format(c='l_quantity')} AS sum_qty,
        {_DSUM_SQL.format(c='l_extendedprice')} AS sum_base_price,
@@ -447,7 +447,7 @@ def tpch_broadcast_chain(spark, sf):
                  _dsum("c_acctbal").alias("total_acctbal")))
 
 
-@q("tpch_join_agg", """
+@qu("tpch_join_agg", """
 SELECT o.o_orderpriority,
        COUNT(*) AS line_count,
        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
@@ -466,7 +466,7 @@ def tpch_join_agg(spark, sf):
                  F.sum(rev).cast("double").alias("revenue")))
 
 
-@q("tpch_top_parts", f"""
+@qu("tpch_top_parts", f"""
 WITH agg AS (
   SELECT l_partkey, {_DSUM_SQL.format(c='l_quantity')} AS total_qty,
          COUNT(*) AS hits
@@ -546,7 +546,7 @@ def doc_dedup_exact(spark, sf):
     )
 
 
-@q("doc_fingerprint", """
+@qu("doc_fingerprint", """
 SELECT source,
        COUNT(DISTINCT substr(md5(text), 1, 16)) AS distinct_fps,
        COUNT(*) AS docs
@@ -668,7 +668,7 @@ def doc_minhash_lsh_pairs(spark, sf):
             .distinct())
 
 
-@q("doc_token_stats", """
+@qu("doc_token_stats", """
 SELECT source, COUNT(*) AS docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
@@ -687,7 +687,7 @@ def doc_token_stats(spark, sf):
     )
 
 
-@q("doc_lang_id", """
+@qu("doc_lang_id", """
 WITH scored AS (
   SELECT doc_id, lang,
          CAST(len(list_filter(string_split(text, ' '),
@@ -715,7 +715,7 @@ def doc_lang_id(spark, sf):
     )
 
 
-@q("doc_quality", """
+@qu("doc_quality", """
 WITH feats AS (
   SELECT doc_id, n_chars,
          len(string_split(text, ' ')) AS ntok,
@@ -1447,7 +1447,7 @@ def emb_near_dup_keep(spark, sf):
     return near_dup_remove_lsh(e, threshold=0.45).select("vec_id")
 
 
-@qu("emb_semdedup_keep", "WITH RECURSIVE " + """cents AS (
+@q("emb_semdedup_keep", "WITH RECURSIVE " + """cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
          embedding
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
@@ -1487,9 +1487,8 @@ def emb_semdedup_keep(spark, sf):
     (fixed_centroids: the 4 smallest ids) so the oracle re-derives the
     assignment argmax, the within-cell edges and the transitive
     closure independently in SQL; the sampled-k-means production path
-    is exercised in tests/test_dedup_similarity.py. UNGRADED (graded
-    window capped at 50) — pytest-checked with the driver's canon
-    comparison."""
+    is exercised in tests/test_dedup_similarity.py. Driver-graded
+    since round 6."""
     from webalizer_spark.operators.similarity import (fixed_centroids,
                                                       semantic_dedup)
     e = _t(spark, sf, "embeddings")
@@ -1635,7 +1634,7 @@ def doc_decontam(spark, sf):
     return contaminated_ids(docs, bench, n=8)
 
 
-@qu("doc_span_dedup", """
+@q("doc_span_dedup", """
 WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
 ), s0 AS (
@@ -1674,8 +1673,7 @@ SELECT t.doc_id AS doc_id,
 FROM t LEFT JOIN rm ON t.doc_id = rm.doc_id
 """)
 def doc_span_dedup(spark, sf):
-    """C4-style cross-document span dedup (ungraded; graded window
-    full): quality.dedup_spans removes every duplicated non-overlapping
+    """C4-style cross-document span dedup (driver-graded since round 6): quality.dedup_spans removes every duplicated non-overlapping
     8-token span corpus-wide except one keeper, rebuilding the text via
     per-row higher-order functions with only md5 span KEYS crossing the
     shuffle. DuckDB re-derives removal AND reconstruction independently
@@ -1688,7 +1686,7 @@ def doc_span_dedup(spark, sf):
                       F.md5("text").alias("text_md5"))
 
 
-@qu("doc_lm_ppl", """
+@q("doc_lm_ppl", """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), tok AS (
@@ -1719,7 +1717,7 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok,
 FROM scored GROUP BY 1
 """)
 def doc_lm_ppl(spark, sf):
-    """CCNet-style LM quality scoring (ungraded): a corpus-trained
+    """CCNet-style LM quality scoring (driver-graded since round 6): a corpus-trained
     add-alpha unigram LM (quality.unigram_logprobs) scores each doc's
     negative log-likelihood + perplexity via broadcast token lookup —
     the scored docs carry one injected out-of-vocabulary token each, so
@@ -1819,7 +1817,7 @@ def doc_mixing(spark, sf):
                           max_epochs=4.0)
 
 
-@qu("doc_tfidf_top", """
+@q("doc_tfidf_top", """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
@@ -1846,7 +1844,7 @@ SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, tfidf
 FROM r WHERE rank <= 5 AND doc_id < 100
 """)
 def doc_tfidf_top(spark, sf):
-    """TF-IDF keyword extraction (ungraded): top-5 terms per document
+    """TF-IDF keyword extraction (driver-graded since round 6): top-5 terms per document
     by smoothed TF-IDF (quality.tf_idf / top_terms — corpus stats over
     the FULL table, output filtered to doc_id < 100 AFTER ranking so N
     and df are corpus-wide). The oracle re-derives term counts,
@@ -1935,7 +1933,7 @@ def evt_ip_class(spark, sf):
     return out.groupBy("ip_class").agg(F.count(F.lit(1)).alias("hits"))
 
 
-@qu("evt_cohorts", """
+@q("evt_cohorts", """
 WITH first AS (
   SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort_day
   FROM events GROUP BY 1
@@ -1950,7 +1948,7 @@ FROM active JOIN first USING (u)
 GROUP BY 1, 2
 """)
 def evt_cohorts(spark, sf):
-    """Cohort retention triangle (ungraded): users bucketed by
+    """Cohort retention triangle (driver-graded since round 6): users bucketed by
     first-seen day, counted per (cohort_day, day_offset)
     (aggregates.cohort_retention — the returning-visitor analysis
     generalized from the reference's visits accounting; the join
@@ -1961,7 +1959,7 @@ def evt_cohorts(spark, sf):
     return cohort_retention(_t(spark, sf, "events"))
 
 
-@qu("evt_funnel", """
+@q("evt_funnel", """
 WITH f AS (
   SELECT user_id,
          MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
@@ -1987,7 +1985,7 @@ UNION ALL SELECT 3, 'signup', s2 FROM r
 UNION ALL SELECT 4, 'purchase', s3 FROM r
 """)
 def evt_funnel(spark, sf):
-    """Ordered funnel conversion (ungraded): users reaching
+    """Ordered funnel conversion (driver-graded since round 6): users reaching
     view -> click -> signup -> purchase with each step's FIRST
     occurrence strictly after the previous step's
     (aggregates.funnel_counts — one user-grouped min-filter
@@ -2000,7 +1998,7 @@ def evt_funnel(spark, sf):
                          ["view", "click", "signup", "purchase"])
 
 
-@qu("evt_anomalies", """
+@q("evt_anomalies", """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
@@ -2034,7 +2032,7 @@ FROM scored
 """)
 def evt_anomalies(spark, sf):
     """Rolling z-score anomaly flags over per-type daily counts
-    (ungraded): each day scored against the exact-decimal mean/std of
+    (driver-graded since round 6): each day scored against the exact-decimal mean/std of
     its 7 preceding CALENDAR days (a RANGE frame over the day number —
     gap days shrink the baseline rather than stretching it), per
     event_type (aggregates.rolling_zscore — the traffic-spike layer on
@@ -2057,7 +2055,7 @@ def evt_anomalies(spark, sf):
         .withColumn("day", F.col("day").cast("string")).drop("day_num")
 
 
-@qu("doc_normalize", r"""
+@q("doc_normalize", r"""
 WITH inp AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 3 = 0
@@ -2078,7 +2076,7 @@ norm AS (
 SELECT doc_id, text, text <> t AS changed FROM norm
 """)
 def doc_normalize(spark, sf):
-    """Text normalization (ungraded): NFC + control-strip + whitespace
+    """Text normalization (driver-graded since round 6): NFC + control-strip + whitespace
     collapse over documents extended with synthesized combining
     sequences (e + U+0301 composes to é), a C0 control and tab runs —
     every doc_id%3 class exercises a different rule mix
@@ -2226,9 +2224,9 @@ SELECT node, ROUND(rank, 6) AS rank FROM r{n_iters}""")
     return "".join(parts)
 
 
-@qu("evt_pagerank", _pagerank_oracle_sql())
+@q("evt_pagerank", _pagerank_oracle_sql())
 def evt_pagerank(spark, sf):
-    """Fixed-iteration PageRank (ungraded): link-based scoring over a
+    """Fixed-iteration PageRank (driver-graded since round 6): link-based scoring over a
     60-node graph derived deterministically from events, with live
     dangling-node redistribution (nodes 40..59 never appear as
     sources). The oracle unrolls all 8 iterations in plain SQL and
@@ -2321,6 +2319,14 @@ def doc_mixture_rows(spark, sf):
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
+    # round-6 rotation: the round-5 LLM-pipeline flagships enter the
+    # graded 50 (verdict item 2) — span dedup, LM perplexity, SemDeDup,
+    # TF-IDF, PageRank, anomaly/cohort/funnel, normalization, JSON logs.
+    # Ten redundant §2 analogs moved to UNGRADED in exchange (every §2
+    # op keeps a first-party tr2_*/evt_* graded row).
+    "doc_span_dedup", "doc_lm_ppl", "emb_semdedup_keep", "doc_tfidf_top",
+    "evt_pagerank", "evt_anomalies", "evt_cohorts", "evt_funnel",
+    "doc_normalize", "tr2_json",
     # round-5 flagship: checkpoint/resume (S8/A13) + chronology (P5)
     # oracles — the last two big §2 surfaces that were pytest-only
     "tr2_resume", "tr2_chronology",

@@ -760,7 +760,16 @@ def _synth_json(spark, sf):
     nginx = F.to_json(F.struct(
         F.concat(F.lit("user"), s(uid)).alias("remote_addr"),
         user.alias("remote_user"),
-        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("time_iso8601"),
+        # half the nginx rows carry a non-UTC colon offset (+03:00 —
+        # time_iso8601's actual shape on a non-UTC box): same instant,
+        # local clock shifted +3h. Guards the TS_PATTERNS["json"] XXX
+        # attempt — a bare X pattern NULLs these (round-5 advice).
+        F.when(eid % 4 == 0,
+               F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .otherwise(F.concat(
+            F.date_format(ts + F.expr("INTERVAL 3 HOURS"),
+                          "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit("+03:00"))).alias("time_iso8601"),
         verb.alias("request_method"),
         path.alias("request_uri"),
         status.alias("status"),
@@ -788,7 +797,7 @@ def _synth_json(spark, sf):
         ts.alias("ts"))
 
 
-@qu("tr2_json", """
+@q("tr2_json", """
 WITH base AS (
   SELECT event_id, user_id, date_trunc('second', ts) AS ts2, event_type,
          CAST(CASE WHEN event_type = 'error' THEN 400 + event_id % 5
@@ -817,7 +826,7 @@ SELECT event_id, 'json' AS log_format,
 FROM base
 """)
 def tr2_json(spark, sf):
-    """S2 JSON-lines oracle (ungraded; graded window capped at 50): the
+    """S2 JSON-lines oracle (driver-graded since round 6): the
     structured-log parse path end-to-end — shape detection on '{', ONE
     from_json per row (lambda-bound map), alias-key fallbacks across
     two real collector vocabularies, ISO-8601 AND epoch-seconds
