@@ -215,3 +215,22 @@ def test_materialize_mixture_is_narrow(spark):
     for line in plan.splitlines():
         if re.search(r"Exchange hashpartitioning", line):
             raise AssertionError(f"corpus hash shuffle in plan: {line}")
+
+
+def test_dedup_keep_anti_join_broadcasts_small_drop_set(spark):
+    """The shared keep anti-join (drop_non_min_members) broadcasts the
+    drop set when it is small: the CC tail's localCheckpoint hides
+    stats from AQE, which used to leave a SortMergeJoin LeftAnti
+    (double Exchange+Sort) on an ids-only join (round-5 verdict nit)."""
+    import re
+
+    from webalizer_spark.operators.dedup import drop_non_min_members
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long")
+    kept = drop_non_min_members(df, edges)
+    assert kept.count() == 97
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan
+    assert "SortMergeJoin" not in plan, plan

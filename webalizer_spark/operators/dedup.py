@@ -18,6 +18,11 @@ from pyspark.sql import functions as F
 
 _LOG = logging.getLogger("webalizer_spark.dedup")
 
+# drop sets (ids only, ~16 bytes/row) up to this many rows are broadcast
+# into the keep anti-join; matches the default 10MB-ish autoBroadcast
+# budget with generous headroom
+_BROADCAST_DROP_MAX = 500_000
+
 
 def _cap_hot_keys(keys: DataFrame, key_cols: list[str], cap: int | None,
                   op: str) -> DataFrame:
@@ -378,6 +383,15 @@ def drop_non_min_members(df: DataFrame, edges: DataFrame,
     comp = connected_min_label(edges)
     drop = (comp.filter(F.col("label") != F.col("v"))
             .select(F.col("v").alias(id_col)))
+    # comp comes out of the CC loop's localCheckpoint, whose unknown
+    # stats stop AQE from broadcasting the typically-small drop set —
+    # the keep anti-join planned as a SortMergeJoin (double
+    # Exchange+Sort on ids). Count it (cheap: already materialized)
+    # and broadcast under the same smallness gate quality.decontaminate
+    # uses; above the gate keep SMJ — at 100 TB a giant drop set must
+    # not be forced driver-side.
+    if drop.limit(_BROADCAST_DROP_MAX + 1).count() <= _BROADCAST_DROP_MAX:
+        drop = F.broadcast(drop)
     return df.join(drop, id_col, "left_anti")
 
 
