@@ -56,6 +56,8 @@ HEADLINE = [
     "emb_ann_topk",
     "doc_winnow_fingerprints",
     "doc_span_dedup",
+    # NEW round 6 — no r5 comparison line (noted in BENCH.md)
+    "doc_substring_dedup",
     "doc_lm_ppl",
     "emb_semdedup_keep",
     "doc_mixture_rows",

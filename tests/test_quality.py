@@ -458,3 +458,55 @@ def test_lm_perplexity_rejects_lm_without_unk(spark):
     docs = _docs(spark, [(1, "a b")])
     with pytest.raises(ValueError, match="UNK"):
         lm_perplexity(docs, lm=bad_lm)
+
+
+def test_dedup_substrings_any_length_semantics(spark):
+    """ExactSubstr keeper semantics on a hand-checked corpus: the
+    corpus-first occurrence of a repeat survives intact; later
+    occurrences vanish WHOLESALE whatever their length (any-length, not
+    span-aligned); intra-doc repeats drop their second copy; docs
+    shorter than min_len, NULL docs and clean docs pass through."""
+    from webalizer_spark.operators.quality import dedup_substrings
+
+    rows = [
+        (1, "a b x1 x2 x3 x4 x5 x6 c d"),   # first occurrence (6-token run)
+        (2, "q x1 x2 x3 x4 x5 x6 r"),        # cross-doc repeat -> removed
+        (3, "x1 x2 x3 x4 x5 x6 m x1 x2 x3 x4 x5 x6"),  # both covered (keeper=1)
+        (4, "no dups here at all"),
+        (5, None),
+        (6, "x1 x2 x3"),                     # shorter than min_len
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in dedup_substrings(df, min_len=4).collect()}
+    assert out[1]["text"] == rows[0][1] and out[1]["n_tokens_removed"] == 0
+    # the repeat is 6 tokens long with min_len=4: ALL 6 removed
+    assert out[2]["text"] == "q r" and out[2]["n_tokens_removed"] == 6
+    assert out[3]["text"] == "m" and out[3]["n_tokens_removed"] == 12
+    assert out[4]["n_tokens_removed"] == 0
+    assert out[5]["text"] is None and out[5]["n_tokens_removed"] == 0
+    assert out[6]["text"] == "x1 x2 x3" and out[6]["n_tokens_removed"] == 0
+
+
+def test_dedup_substrings_intra_doc_keeper(spark):
+    """A repeat that exists ONLY within one doc keeps its first copy."""
+    from webalizer_spark.operators.quality import dedup_substrings
+
+    df = spark.createDataFrame(
+        [(7, "k1 k2 k3 k4 z k1 k2 k3 k4")], "doc_id int, text string")
+    row = dedup_substrings(df, min_len=4).collect()[0]
+    assert row["text"] == "k1 k2 k3 k4 z"
+    assert row["n_tokens_removed"] == 4
+
+
+def test_dedup_substrings_no_text_through_anchor_exchange(spark):
+    """The gram-key groupBy is the anchor Exchange: it must carry only
+    (id, int, 16-hex key) — never the text column (the 100 TB
+    constraint for sliding-window dedup)."""
+    from webalizer_spark.operators.quality import dedup_substrings
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = dedup_substrings(df, min_len=16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line

@@ -234,6 +234,96 @@ def dedup_spans(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Any-length substring dedup (suffix-array / ExactSubstr family)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_gram_starts(docs: DataFrame, min_len: int = 16,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """SLIDING min_len-gram occurrences that duplicate corpus-wide,
+    minus one keeper per gram: (id_col, s) rows whose token window
+    [s, s+min_len) must be removed.
+
+    This is the candidate layer of suffix-array substring dedup
+    ("deduplicating training data makes language models better",
+    ExactSubstr): a token position sits inside SOME duplicated
+    substring of length >= min_len IFF it is covered by a duplicated
+    sliding min_len-gram — any longer repeat is a run of repeated
+    min_len-grams, so fixed-width gram keys decide arbitrary-length
+    repeats exactly, without materializing a suffix array (which does
+    not distribute). The keeper is the global min(struct(id, s)) per
+    gram, so the corpus-first occurrence of a long repeat survives
+    intact while every other occurrence is covered end-to-end.
+
+    Scale shape: sliding windows explode to ~tokens rows, but each row
+    is (id, int, 16-hex key) — the groupBy(key) Exchange never carries
+    text (plan-asserted in tests/test_plans.py). Contrast
+    duplicate_spans: NON-overlapping fixed spans (the C4 rule, 1/n the
+    key volume) vs. sliding grams here (any-length semantics, ~n keys).
+    """
+    toks = _toks(text_col)
+    nkeys = F.size(toks) - min_len + 1
+    grams = (docs
+             .select(F.col(id_col),
+                     F.posexplode(
+                         F.transform(
+                             F.sequence(F.lit(0), nkeys - 1),
+                             lambda s: _span_key(
+                                 F.concat_ws(" ", F.slice(toks, s + 1,
+                                                          min_len)))))
+                     .alias("s", "key"))
+             .where(nkeys > 0))
+    keepers = (grams.groupBy("key")
+               .agg(F.min(F.struct(id_col, "s")).alias("_keep"),
+                    F.count(F.lit(1)).alias("_cnt"))
+               .where(F.col("_cnt") > 1))
+    return (grams.join(keepers, "key")
+            .where(F.struct(id_col, "s") != F.col("_keep"))
+            .select(id_col, "s"))
+
+
+def dedup_substrings(docs: DataFrame, min_len: int = 16,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Rewrite each document with every duplicated substring of
+    >= min_len tokens removed (the corpus-first occurrence survives).
+    Adds ``n_tokens_removed``; other columns pass through with
+    text_col rebuilt. The any-length companion to dedup_spans: a
+    300-token boilerplate block repeated across pages disappears
+    wholesale, not just its span-aligned chunks.
+
+    Scale design: only (id, gram-start int) pairs come back from the
+    key shuffle — they aggregate to ONE small (id, starts-array) row
+    per affected doc, and the corpus joins that removal set by id (AQE
+    / broadcast — removals are rare by construction). The rebuild is a
+    per-row higher-order filter: token i survives unless some start
+    covers it (exists() over the doc's own starts — O(dups) per token,
+    zero extra Exchange, text never shuffles).
+    """
+    rm = (duplicated_gram_starts(docs, min_len, id_col, text_col)
+          .groupBy(id_col)
+          .agg(F.sort_array(F.collect_set("s")).alias("_rm")))
+    toks = _toks(text_col)
+
+    def _covered(i: Column) -> Column:
+        return F.exists("_rm", lambda st: (st <= i)
+                        & (i < st + F.lit(min_len)))
+
+    kept = F.filter(toks, lambda _t, i: ~_covered(i))
+    out = (docs.join(rm, id_col, "left")
+           .withColumn("_nrm",
+                       F.when(F.col("_rm").isNotNull(),
+                              F.size(toks) - F.size(kept))
+                       .otherwise(F.lit(0)))
+           .withColumn(text_col,
+                       F.when(F.col("_nrm") > 0, F.concat_ws(" ", kept))
+                       .otherwise(F.col(text_col))))
+    return (out.select(*docs.columns, F.col("_nrm")
+                       .cast("int").alias("n_tokens_removed")))
+
+
+# ---------------------------------------------------------------------------
 # Corpus language-model scoring (CCNet style)
 # ---------------------------------------------------------------------------
 

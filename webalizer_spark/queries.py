@@ -1686,6 +1686,94 @@ def doc_span_dedup(spark, sf):
                       F.md5("text").alias("text_md5"))
 
 
+def _synth_subdup(spark, sf):
+    """documents + planted long repeats for the any-length substring
+    dedup oracle: every doc_id % 7 == 0 doc gets a 30-token passage
+    (vocabulary keyed by doc_id % 3, so three cross-doc repeat
+    families); the % 21 family appends it TWICE (intra-doc repeat +
+    junction grams spanning the copy boundary). Natural duplicated
+    16-grams in the base corpus, if any, are deduped identically on
+    both sides."""
+    k = (F.col("doc_id") % 3).cast("string")
+    pas = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda j: F.concat(F.lit("p"), k, F.lit("t"), j.cast("string"))))
+    text2 = (F.when(F.col("doc_id") % 21 == 0,
+                    F.concat_ws(" ", F.col("text"), pas, pas))
+             .when(F.col("doc_id") % 7 == 0,
+                   F.concat_ws(" ", F.col("text"), pas))
+             .otherwise(F.col("text")))
+    return (_t(spark, sf, "documents")
+            .select("doc_id", text2.alias("text")))
+
+
+@qu("doc_substring_dedup", """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 21 = 0 THEN text || ' ' || pass || ' ' || pass
+              WHEN doc_id % 7 = 0 THEN text || ' ' || pass
+              ELSE text END AS text
+  FROM (SELECT doc_id, text,
+               array_to_string(list_transform(generate_series(1, 30),
+                   j -> 'p' || (doc_id % 3) || 't' || j), ' ') AS pass
+        FROM documents)
+), t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM d
+), g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(toks) - 15),
+             s -> struct_pack(s := CAST(s AS INT),
+                 key := substr(md5(array_to_string(
+                     list_slice(toks, s + 1, s + 16), ' ')), 1, 16)))) AS u
+  FROM t WHERE len(toks) >= 16
+), g AS (
+  SELECT doc_id, u.s AS s, u.key AS key FROM g0
+), ranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, s) AS rn,
+         COUNT(*) OVER (PARTITION BY key) AS cnt
+  FROM g
+), rm AS (
+  SELECT doc_id, list(s ORDER BY s) AS starts
+  FROM ranked WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+), kept AS (
+  SELECT t.doc_id, t.text, len(t.toks) AS n,
+         list_transform(
+             list_filter(range(0, len(t.toks)),
+                 i -> len(list_filter(rm.starts,
+                          st -> st <= i AND i < st + 16)) = 0),
+             i -> t.toks[i + 1]) AS keep_toks,
+         rm.doc_id IS NOT NULL AS hit
+  FROM t LEFT JOIN rm ON t.doc_id = rm.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN hit THEN n - len(keep_toks) ELSE 0 END AS INT)
+           AS n_tokens_removed,
+       md5(CASE WHEN hit AND n - len(keep_toks) > 0
+                -- array_to_string([]) is NULL in DuckDB but concat_ws
+                -- is '' in Spark: fully-removed docs must hash as ''
+                THEN COALESCE(array_to_string(keep_toks, ' '), '')
+                ELSE text END) AS text_md5
+FROM kept
+""")
+def doc_substring_dedup(spark, sf):
+    """Any-length substring dedup (suffix-array / ExactSubstr family —
+    'deduplicating training data makes language models better'):
+    quality.dedup_substrings removes every duplicated substring of
+    >= 16 tokens corpus-wide except its corpus-first occurrence, over
+    documents with planted 30-token repeats (three cross-doc families
+    + an intra-doc double). Sliding-gram position coverage decides
+    arbitrary-length repeats exactly; only (id, int, 16-hex key) rows
+    cross the Exchange (plan-asserted). DuckDB re-derives windows,
+    keeper, coverage and the rebuild independently — agreeing text
+    md5s pin the decision AND the reconstruction."""
+    from webalizer_spark.operators.quality import dedup_substrings
+
+    out = dedup_substrings(_synth_subdup(spark, sf), min_len=16)
+    return out.select("doc_id", "n_tokens_removed",
+                      F.md5("text").alias("text_md5"))
+
+
 @q("doc_lm_ppl", """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
