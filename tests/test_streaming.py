@@ -249,3 +249,47 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     finally:
         q2.stop()
     assert kept == {1, 2}
+
+
+def test_streaming_rolling_zscore_matches_batch(spark, tmp_path):
+    """Analytics-family twin: streaming_rolling_zscore over the daily
+    count stream — replayed in two restarts with state carried across
+    the boundary — equals the batch rolling_zscore that backs
+    evt_anomalies, bit-for-bit including the 6dp HALF_UP round."""
+    from webalizer_spark.operators.aggregates import rolling_zscore
+    from webalizer_spark.streaming.session_stream import (
+        streaming_rolling_zscore,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    daily = (ev.groupBy("event_type",
+                        F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("day_num", F.datediff("day", F.lit("1970-01-01"))))
+
+    want = {(r["event_type"], str(r["day"])): (r["n"], r["z"], r["is_anomaly"])
+            for r in rolling_zscore(daily, "n", "day_num", "event_type")
+            .collect()}
+
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    schema = "event_type string, day date, n long"
+    half = F.col("day") < F.lit("2024-01-16")
+
+    def run(df):
+        df.select("event_type", "day", "n").coalesce(1) \
+            .write.mode("append").parquet(indir)
+        stream = spark.readStream.schema(schema).parquet(indir)
+        q = (streaming_rolling_zscore(stream)
+             .writeStream.format("parquet").option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    run(daily.filter(half))          # days 1-15
+    run(daily.filter(~half))         # days 16-30: state crosses restart
+
+    got = {(r["event_type"], str(r["day"])): (r["n"], r["z"], r["is_anomaly"])
+           for r in spark.read.parquet(outdir).collect()}
+    assert got == want
+    assert len(got) == daily.count()

@@ -160,3 +160,85 @@ def streaming_exact_dedup(stream: DataFrame, content_col: str = "text",
         return (keyed.withWatermark(ts_col, watermark)
                 .dropDuplicatesWithinWatermark(["_fp"]).drop("_fp"))
     return keyed.dropDuplicates(["_fp"]).drop("_fp")
+
+
+def streaming_rolling_zscore(daily: DataFrame, series_col: str = "event_type",
+                             day_col: str = "day", n_col: str = "n",
+                             window: int = 7,
+                             z_threshold: float = 3.0) -> DataFrame:
+    """Rolling z-score anomaly flags as a CUSTOM STATEFUL streaming
+    operator — the streaming twin of aggregates.rolling_zscore (the
+    batch path behind evt_anomalies), extending the §2.9 twin pattern
+    from the session family to the analytics family.
+
+    Input is the finalized per-(series, day) count stream (the output
+    of a watermarked daily windowed aggregation, or a gold-table feed).
+    Per-series state holds only the trailing `window` days of
+    (day_num, n) pairs — bounded at `window` longs per key, so 10^9
+    series fit the state store. Each arriving day is scored against
+    the days in [d - window, d - 1] exactly as the batch RANGE frame
+    does: exact integer sums of n and n^2 (Python ints never overflow
+    — the state-side mirror of the batch decimal recipe), then the
+    SAME double expression chain mean = s/cnt, var = max((ss -
+    s*s/cnt)/(cnt-1), 0), z = (x-mean)/sqrt(var), and the same
+    HALF_UP 6dp round (decimal.Decimal over repr(), matching
+    BigDecimal.valueOf(double) in Spark's round()).
+
+    Ordering contract: rows are scored in day order WITHIN a
+    micro-batch; across batches arrival is assumed day-ordered per
+    series (the shape a watermarked append-mode daily agg emits). A
+    day arriving after its baseline horizon was pruned scores against
+    the retained trailing window — same trade every bounded-state
+    stream operator makes.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{series_col} string, {day_col} date, {n_col} long,"
+                  " z double, is_anomaly boolean")
+    state_schema = "days array<long>, ns array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        days, ns = ([list(a) for a in state.get] if state.exists
+                    else ([], []))
+        rows = pd.concat(list(pdfs))
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(day_col)
+        out = []
+        for d, x in zip(rows[day_col], rows[n_col]):
+            dn = (pd.Timestamp(d) - pd.Timestamp("1970-01-01")).days
+            base = [v for bd, v in zip(days, ns)
+                    if dn - window <= bd <= dn - 1]
+            z = zr = None
+            flag = False
+            cnt = len(base)
+            if cnt >= 2:
+                s = float(sum(base))
+                ss = float(sum(v * v for v in base))
+                var = max((ss - s * s / cnt) / (cnt - 1.0), 0.0)
+                if var > 0:
+                    z = (float(x) - s / cnt) / math.sqrt(var)
+                    zr = float(Decimal(repr(z)).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP))
+                    flag = abs(z) > z_threshold
+            out.append((key[0], d, int(x), zr, flag))
+            days.append(dn)
+            ns.append(int(x))
+            keep = [i for i, bd in enumerate(days) if bd > dn - window]
+            days = [days[i] for i in keep]
+            ns = [ns[i] for i in keep]
+        state.update((days, ns))
+        yield pd.DataFrame(out, columns=[series_col, day_col, n_col,
+                                         "z", "is_anomaly"])
+
+    return (daily
+            .select(F.col(series_col).cast("string").alias(series_col),
+                    F.col(day_col).cast("date").alias(day_col),
+                    F.col(n_col).cast("long").alias(n_col))
+            .groupBy(series_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.NoTimeout))
