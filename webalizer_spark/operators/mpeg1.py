@@ -7,18 +7,21 @@ B-pictures (bidirectional prediction with separate forward/backward
 PMVs, the (f+b+1)>>1 interpolated average, anchor-first transmit order
 and the standard one-anchor reorder buffer on decode), default intra
 quantizer matrix with the standard zigzag scan, intra DC prediction,
-differential full-pel motion vectors (f_code=1), coded-block-pattern
+differential motion vectors at any f_code 1..7 (motion_code VLC +
+(f_code-1)-bit residual, modulus-32*f_rate wrap), coded-block-pattern
 VLC, run/level DCT coefficient VLC with the standard escape coding,
-skipped macroblocks (I/P), and half-pel chroma prediction (luma
+skipped macroblocks in P (zero-vector co-located copy, PMV reset) AND
+B pictures (previous MB's prediction mode + vectors repeated, PMVs
+untouched, per 2.4.4.4), and half-pel chroma prediction (luma
 vectors halve into chroma half-sample positions, truncating toward
 zero).
 The encoder emits a deliberately conservative-but-legal subset — one
 slice per picture, full_pel_forward_vector=1, default matrices, and the
 escape form for any run/level outside the short VLC table it carries —
 while the decoder additionally handles half-pel luma vectors
-(full_pel_forward_vector=0), loaded quantizer matrices and per-
-macroblock quantizer changes, so third-party streams inside the subset
-decode too.
+(full_pel_forward_vector=0), loaded quantizer matrices, per-
+macroblock quantizer changes, and mixed forward/backward f_codes, so
+third-party streams inside the subset decode too.
 
 Honesty note (same bar as operators/flac.py): the VLC tables are
 transcribed from the published standard (Annex B) and the encoder and
@@ -26,9 +29,10 @@ decoder share one source of truth for them, so the round-trip tests
 prove internal consistency plus syntax-level conformance (start codes,
 marker bits, byte-aligned slices), but no third-party MPEG decoder
 exists in this sandbox to cross-check bit-exactness of the tables
-against. D-pictures, f_code>1 and skipped B macroblocks are out of
-subset and raise ValueError (decode_media routes that as corrupt,
-never wrong pixels).
+against. D-pictures remain out of subset and raise ValueError
+(decode_media routes that as corrupt, never wrong pixels); a skipped
+B macroblock directly after an intra macroblock has no prediction to
+repeat and is refused as an illegal stream.
 
 Recast anchor: the reference engine has no media path at all — this
 module belongs to the training-data-pipeline extension surface
@@ -402,20 +406,44 @@ def _half(v: int) -> int:
     return v // 2 if v >= 0 else -((-v) // 2)
 
 
-def _wrap_mv(diff: int) -> int:
-    """Wrap a vector differential into [-16, 15] (f_code=1 modulus 32)."""
-    while diff > 15:
-        diff -= 32
-    while diff < -16:
-        diff += 32
+def _wrap_mv(diff: int, f_rate: int = 1) -> int:
+    """Wrap a vector value into [-16*f_rate, 16*f_rate - 1] — the
+    2.4.4.2 modulus-(32*f_rate) rule, f_rate = 1 << (f_code - 1)."""
+    lo, span = -16 * f_rate, 32 * f_rate
+    while diff > lo + span - 1:
+        diff -= span
+    while diff < lo:
+        diff += span
     return diff
 
 
-def _put_motion(bw: _BW, mv: int, pmv: int) -> None:
-    code = _wrap_mv(mv - pmv)
+def _put_motion(bw: _BW, mv: int, pmv: int, f_rate: int = 1) -> None:
+    """Encode one motion differential: wrap modulo 32*f_rate, emit the
+    motion_code VLC, and for f_code > 1 the (f_code - 1)-bit residual
+    (|d| = (|code| - 1) * f_rate + r + 1, per 2.4.4.2)."""
+    d = _wrap_mv(mv - pmv, f_rate)
+    if f_rate == 1 or d == 0:
+        if d not in _MOTION_CODES:
+            raise ValueError(f"motion code out of range: {d}")
+        bw.code(_MOTION_CODES[d])
+        return
+    acode = -(-abs(d) // f_rate)           # ceil(|d| / f_rate) <= 16
+    r = abs(d) - ((acode - 1) * f_rate + 1)
+    code = acode if d > 0 else -acode
     if code not in _MOTION_CODES:
         raise ValueError(f"motion code out of range: {code}")
     bw.code(_MOTION_CODES[code])
+    bw.bits(r, (f_rate).bit_length() - 1)
+
+
+def _read_motion(br: "_BR", f_rate: int = 1) -> int:
+    """Decode one motion differential (VLC + residual for f_code > 1)."""
+    code = br.vlc(_MOTION_DEC, "motion_code")
+    if f_rate == 1 or code == 0:
+        return code
+    r = br.bits((f_rate).bit_length() - 1)
+    d = (abs(code) - 1) * f_rate + r + 1
+    return d if code > 0 else -d
 
 
 # ---------------------------------------------------------------------------
@@ -616,12 +644,16 @@ _B_CODE = {(1, 1, 0): "10", (1, 1, 1): "11", (0, 1, 0): "010",
 
 
 def _encode_b_picture(bw: _BW, cur, fwd, bwd, qscale: int, search: int,
-                      full_pel: bool, mb_w: int, mb_h: int):
+                      full_pel: bool, mb_w: int, mb_h: int,
+                      f_rate: int = 1, stats: dict | None = None):
     """Macroblock layer of one B picture: per MB pick the cheapest of
     forward / backward / interpolated prediction (intra fallback),
-    code residuals under the chosen prediction, and keep separate
-    forward/backward PMVs. No skipped macroblocks (encoder choice —
-    legal, and it keeps the PMV bookkeeping obvious). Returns the
+    code residuals under the chosen prediction, keep separate
+    forward/backward PMVs, and SKIP macroblocks whose residual under
+    the previous MB's prediction (same mode + vectors, 2.4.4.4)
+    quantizes to zero — the standard's cheap encoding of static B
+    regions (first/last MB of the slice and MBs after an intra MB are
+    never skipped, per the standard's constraints). Returns the
     reconstructed (y, cb, cr) planes — the decoder must match them
     bit-exactly."""
     y, cb, cr = cur
@@ -630,13 +662,84 @@ def _encode_b_picture(bw: _BW, cur, fwd, bwd, qscale: int, search: int,
     rec_cr = np.zeros_like(cr)
     pred_dc = [128, 128, 128]
     pmv = {"f": [0, 0], "b": [0, 0]}       # [x, y] per direction
+    prev = None          # (mf, mbk, vf, vb, vf2, vb2) of the last MB
+    pending_inc = 1
+
+    def _pred_for(mode, py, px, cy, cx, vf2, vb2):
+        return _b_mb_pred(fwd, bwd, mode, py, px, cy, cx, vf2, vb2)
+
+    def _zero_resid(pred, py, px, cy, cx):
+        for byy in (0, 8):
+            for bxx in (0, 8):
+                res = (y[py + byy:py + byy + 8, px + bxx:px + bxx + 8]
+                       .astype(np.int32)
+                       - pred[0][byy:byy + 8, bxx:bxx + 8])
+                lv = _quant_nonintra(np.round(_fdct(res)).astype(np.int64),
+                                     qscale, _NONINTRA_Q)
+                if np.any(lv):
+                    return False
+        for plane, pr in ((cb, pred[1]), (cr, pred[2])):
+            res = plane[cy:cy + 8, cx:cx + 8].astype(np.int32) - pr
+            lv = _quant_nonintra(np.round(_fdct(res)).astype(np.int64),
+                                 qscale, _NONINTRA_Q)
+            if np.any(lv):
+                return False
+        return True
 
     for my in range(mb_h):
         for mx in range(mb_w):
             py, px = my * 16, mx * 16
             cy, cx = my * 8, mx * 8
+            is_last = my == mb_h - 1 and mx == mb_w - 1
             cur_y = y[py:py + 16, px:px + 16]
             cur32 = cur_y.astype(np.int32)
+
+            if prev is not None:
+                pmf, pmbk, pvf, pvb, pvf2, pvb2 = prev
+                pmode = ("interp" if pmf and pmbk
+                         else ("fwd" if pmf else "bwd"))
+                try:
+                    # the previous MB's vectors may point outside the
+                    # picture AT THIS MB -> skipping here would be an
+                    # illegal stream, so it is simply not eligible
+                    ppred = _pred_for(pmode, py, px, cy, cx, pvf2, pvb2)
+                except ValueError:
+                    ppred = None
+                if ppred is not None and _zero_resid(ppred, py, px, cy, cx):
+                    if not is_last:
+                        # SKIP: repeat the previous prediction, PMVs
+                        # and prev unchanged, DC predictors reset
+                        pending_inc += 1
+                        if stats is not None:
+                            stats["b_skipped"] = stats.get(
+                                "b_skipped", 0) + 1
+                        _b_recon_store(rec_y, rec_cb, rec_cr, ppred,
+                                       py, px, cy, cx)
+                        pred_dc = [128, 128, 128]
+                        continue
+                    # last MB of the slice must be coded: emit the
+                    # previous mode, zero differentials, not coded
+                    inc = pending_inc
+                    while inc > 33:
+                        bw.code(_MBA_ESCAPE)
+                        inc -= 33
+                    bw.code(_MBA_CODES[inc])
+                    pending_inc = 1
+                    pred_dc = [128, 128, 128]
+                    bw.code(_B_CODE[(pmf, pmbk, 0)])
+                    if pmf:
+                        _put_motion(bw, pvf[1], pmv["f"][0], f_rate)
+                        _put_motion(bw, pvf[0], pmv["f"][1], f_rate)
+                        pmv["f"] = [pvf[1], pvf[0]]
+                    if pmbk:
+                        _put_motion(bw, pvb[1], pmv["b"][0], f_rate)
+                        _put_motion(bw, pvb[0], pmv["b"][1], f_rate)
+                        pmv["b"] = [pvb[1], pvb[0]]
+                    if stats is not None:
+                        stats["b_coded"] = stats.get("b_coded", 0) + 1
+                    _b_recon_store(rec_y, rec_cb, rec_cr, ppred,
+                                   py, px, cy, cx)
+                    continue
 
             sf, dyf, dxf = _search_fullpel(cur32, fwd[0], py, px, search)
             sb, dyb, dxb = _search_fullpel(cur32, bwd[0], py, px, search)
@@ -652,12 +755,19 @@ def _encode_b_picture(bw: _BW, cur, fwd, bwd, qscale: int, search: int,
                                                sb, dyb, dxb)
                 vf, vf2 = (fy2, fx2), (fy2, fx2)
                 vb, vb2 = (by2, bx2), (by2, bx2)
-            pi = _b_mb_pred(fwd, bwd, "interp", py, px, cy, cx, vf2, vb2)
+            pi = _pred_for("interp", py, px, cy, cx, vf2, vb2)
             si = int(np.abs(cur32 - pi[0]).sum())
             mode, sad = min((("fwd", sf), ("bwd", sb), ("interp", si)),
                             key=lambda t: t[1])
             intra_cost = int(np.abs(cur32 - int(cur32.mean())).sum())
-            bw.code(_MBA_CODES[1])         # no skipping: increment 1
+            inc = pending_inc
+            while inc > 33:
+                bw.code(_MBA_ESCAPE)
+                inc -= 33
+            bw.code(_MBA_CODES[inc])
+            pending_inc = 1
+            if stats is not None:
+                stats["b_coded"] = stats.get("b_coded", 0) + 1
 
             if intra_cost + 500 < sad:
                 bw.code("00011")           # B intra
@@ -665,14 +775,14 @@ def _encode_b_picture(bw: _BW, cur, fwd, bwd, qscale: int, search: int,
                                  py, px, cy, cx, qscale, pred_dc)
                 pmv["f"] = [0, 0]
                 pmv["b"] = [0, 0]
+                prev = None                # skip after intra: illegal
                 continue
 
             pred_dc = [128, 128, 128]
             mf = 1 if mode in ("fwd", "interp") else 0
             mbk = 1 if mode in ("bwd", "interp") else 0
-            pred = (pi if mode == "interp"
-                    else _b_mb_pred(fwd, bwd, mode, py, px, cy, cx,
-                                    vf2, vb2))
+            pred = pi if mode == "interp" else _pred_for(
+                mode, py, px, cy, cx, vf2, vb2)
             blocks = []
             for byy in (0, 8):
                 for bxx in (0, 8):
@@ -694,13 +804,14 @@ def _encode_b_picture(bw: _BW, cur, fwd, bwd, qscale: int, search: int,
             coded = 1 if cbp else 0
             bw.code(_B_CODE[(mf, mbk, coded)])
             if mf:
-                _put_motion(bw, vf[1], pmv["f"][0])
-                _put_motion(bw, vf[0], pmv["f"][1])
+                _put_motion(bw, vf[1], pmv["f"][0], f_rate)
+                _put_motion(bw, vf[0], pmv["f"][1], f_rate)
                 pmv["f"] = [vf[1], vf[0]]
             if mbk:
-                _put_motion(bw, vb[1], pmv["b"][0])
-                _put_motion(bw, vb[0], pmv["b"][1])
+                _put_motion(bw, vb[1], pmv["b"][0], f_rate)
+                _put_motion(bw, vb[0], pmv["b"][1], f_rate)
                 pmv["b"] = [vb[1], vb[0]]
+            prev = (mf, mbk, vf, vb, vf2, vb2)
             recon = []
             if coded:
                 bw.code(_CBP_CODES[cbp])
@@ -726,9 +837,18 @@ def _encode_b_picture(bw: _BW, cur, fwd, bwd, qscale: int, search: int,
     return rec_y, rec_cb, rec_cr
 
 
+def _b_recon_store(rec_y, rec_cb, rec_cr, pred, py, px, cy, cx) -> None:
+    """Store a zero-residual B prediction into the recon planes."""
+    rec_y[py:py + 16, px:px + 16] = np.clip(pred[0], 0, 255)
+    rec_cb[cy:cy + 8, cx:cx + 8] = np.clip(pred[1], 0, 255)
+    rec_cr[cy:cy + 8, cx:cx + 8] = np.clip(pred[2], 0, 255)
+
+
 def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
                  search: int = 7, recon_out: list | None = None,
-                 full_pel: bool = True, b_frames: int = 0) -> bytes:
+                 full_pel: bool = True, b_frames: int = 0,
+                 f_code: int = 1,
+                 stats: dict | None = None) -> bytes:
     """Encode (nf, h, w, 3) uint8 RGB frames as an MPEG-1 video
     elementary stream (I/P — and with b_frames>0, B — pictures, 4:2:0,
     one slice per picture, default matrices). full_pel=True emits
@@ -749,6 +869,13 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
         raise ValueError("qscale must be 1..31")
     if b_frames < 0:
         raise ValueError("b_frames must be >= 0")
+    if not 1 <= f_code <= 7:
+        raise ValueError("f_code must be 1..7")
+    f_rate = 1 << (f_code - 1)
+    # the reconstructed-vector range is [-16*f_rate, 16*f_rate - 1] in
+    # TRANSMITTED units (full or half pel): the search radius must fit
+    if (search if full_pel else 2 * search + 1) > 16 * f_rate - 1:
+        raise ValueError("search radius exceeds the f_code vector range")
     nf, h, w = frames.shape[:3]
     if h % 2 or w % 2:
         raise ValueError("MPEG-1 4:2:0 needs even dimensions")
@@ -806,10 +933,10 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
         bw.bits(0xFFFF, 16)                # vbv_delay: unknown
         if kind != "I":
             bw.bits(1 if full_pel else 0, 1)   # full_pel_forward_vector
-            bw.bits(1, 3)                  # forward_f_code = 1
+            bw.bits(f_code, 3)             # forward_f_code
         if kind == "B":
             bw.bits(1 if full_pel else 0, 1)   # full_pel_backward_vector
-            bw.bits(1, 3)                  # backward_f_code = 1
+            bw.bits(f_code, 3)             # backward_f_code
         bw.bits(0, 1)                      # extra_bit_picture
         bw.align()
         bw.raw(b"\x00\x00\x01\x01")        # slice 1 (whole picture)
@@ -819,7 +946,7 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
         if kind == "B":
             brec = _encode_b_picture(
                 bw, (y, cb, cr), prev_anchor, (ref_y, ref_cb, ref_cr),
-                qscale, search, full_pel, mb_w, mb_h)
+                qscale, search, full_pel, mb_w, mb_h, f_rate, stats)
             bw.align()
             if recon_out is not None:
                 recon_store[fi] = _yuv420_to_rgb(*brec)[:h, :w]
@@ -931,8 +1058,8 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
                 pred_dc = [128, 128, 128]
                 if emit_type == "mc_notcoded":
                     bw.code("001")
-                    _put_motion(bw, mv_x, pmv_x)
-                    _put_motion(bw, mv_y, pmv_y)
+                    _put_motion(bw, mv_x, pmv_x, f_rate)
+                    _put_motion(bw, mv_y, pmv_y, f_rate)
                     pmv_x, pmv_y = mv_x, mv_y
                     rec_y[py:py + 16, px:px + 16] = np.clip(
                         _predict(ref_y, py, px, 16, 16, vy2, vx2), 0, 255)
@@ -941,8 +1068,8 @@ def encode_mpeg1(frames: np.ndarray, qscale: int = 8, gop: int = 8,
                     continue
 
                 bw.code("1")                       # pred-mc, coded
-                _put_motion(bw, mv_x, pmv_x)
-                _put_motion(bw, mv_y, pmv_y)
+                _put_motion(bw, mv_x, pmv_x, f_rate)
+                _put_motion(bw, mv_y, pmv_y, f_rate)
                 pmv_x, pmv_y = mv_x, mv_y
                 bw.code(_CBP_CODES[cbp])
                 recon = []
@@ -1077,14 +1204,19 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                              " (I/P/B subset)")
         br.bits(16)                       # vbv_delay
         full_pel = full_pel_b = 1
+        fr_f = fr_b = 1
         if ptype in (2, 3):
             full_pel = br.bit()
-            if br.bits(3) != 1:
-                raise ValueError("forward_f_code > 1 out of subset")
+            ffc = br.bits(3)
+            if not 1 <= ffc <= 7:
+                raise ValueError("forward_f_code out of range")
+            fr_f = 1 << (ffc - 1)
         if ptype == 3:
             full_pel_b = br.bit()
-            if br.bits(3) != 1:
-                raise ValueError("backward_f_code > 1 out of subset")
+            bfc = br.bits(3)
+            if not 1 <= bfc <= 7:
+                raise ValueError("backward_f_code out of range")
+            fr_b = 1 << (bfc - 1)
         while br.bit():                   # extra_information_picture
             br.bits(8)
 
@@ -1106,6 +1238,7 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
             pred_dc = [128, 128, 128]
             pmv_x = pmv_y = 0
             pmv_bx = pmv_by = 0            # backward PMV (B pictures)
+            last_b = None                  # previous B MB's prediction
             first_in_slice = True
             while True:
                 inc = 0
@@ -1118,25 +1251,61 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                         continue
                     inc += v
                     break
-                # skipped macroblocks: copy co-located from reference
+                # skipped macroblocks — P: zero-vector co-located copy
+                # from the reference, PMV reset; B: repeat the PREVIOUS
+                # macroblock's prediction mode and vectors, PMVs
+                # untouched (2.4.4.4); skip after a B intra MB has no
+                # defined prediction to repeat -> illegal stream
                 if inc > 1 and first_in_slice:
                     raise ValueError("MPEG slice starts with a skip run")
-                if inc > 1 and ptype == 3:
-                    # B-skip repeats the previous MB's prediction; our
-                    # encoder never emits it — honest refusal, not
-                    # wrong pixels
-                    raise ValueError("skipped B macroblocks out of subset")
+                if inc > 1 and ptype == 3 and last_b is None:
+                    raise ValueError(
+                        "skipped B macroblock after an intra macroblock")
                 for _ in range(inc - 1):
                     mba += 1
                     sy, sx = (mba // mb_w) * 16, (mba % mb_w) * 16
                     scy, scx = sy // 2, sx // 2
-                    new_y[sy:sy + 16, sx:sx + 16] = ref_y[sy:sy + 16,
-                                                          sx:sx + 16]
-                    new_cb[scy:scy + 8, scx:scx + 8] = ref_cb[scy:scy + 8,
-                                                              scx:scx + 8]
-                    new_cr[scy:scy + 8, scx:scx + 8] = ref_cr[scy:scy + 8,
-                                                              scx:scx + 8]
-                    pmv_x = pmv_y = 0
+                    if ptype == 3:
+                        lmf, lmbk, lvx, lvy, lvbx, lvby = last_b
+                        parts_s = []
+                        if lmf:
+                            s2 = 2 if full_pel else 1
+                            fy2, fx2 = s2 * lvy, s2 * lvx
+                            parts_s.append((
+                                _predict(prev_y, sy, sx, 16, 16, fy2, fx2),
+                                _predict(prev_cb, scy, scx, 8, 8,
+                                         _half(fy2), _half(fx2)),
+                                _predict(prev_cr, scy, scx, 8, 8,
+                                         _half(fy2), _half(fx2))))
+                        if lmbk:
+                            s2 = 2 if full_pel_b else 1
+                            by2, bx2 = s2 * lvby, s2 * lvbx
+                            parts_s.append((
+                                _predict(ref_y, sy, sx, 16, 16, by2, bx2),
+                                _predict(ref_cb, scy, scx, 8, 8,
+                                         _half(by2), _half(bx2)),
+                                _predict(ref_cr, scy, scx, 8, 8,
+                                         _half(by2), _half(bx2))))
+                        if len(parts_s) == 2:
+                            sy_p, scb_p, scr_p = (
+                                (a + b + 1) >> 1
+                                for a, b in zip(parts_s[0], parts_s[1]))
+                        else:
+                            sy_p, scb_p, scr_p = parts_s[0]
+                        new_y[sy:sy + 16, sx:sx + 16] = np.clip(
+                            sy_p, 0, 255).astype(np.uint8)
+                        new_cb[scy:scy + 8, scx:scx + 8] = np.clip(
+                            scb_p, 0, 255).astype(np.uint8)
+                        new_cr[scy:scy + 8, scx:scx + 8] = np.clip(
+                            scr_p, 0, 255).astype(np.uint8)
+                    else:
+                        new_y[sy:sy + 16, sx:sx + 16] = ref_y[sy:sy + 16,
+                                                              sx:sx + 16]
+                        new_cb[scy:scy + 8, scx:scx + 8] = \
+                            ref_cb[scy:scy + 8, scx:scx + 8]
+                        new_cr[scy:scy + 8, scx:scx + 8] = \
+                            ref_cr[scy:scy + 8, scx:scx + 8]
+                        pmv_x = pmv_y = 0
                     pred_dc = [128, 128, 128]
                 mba += 1
                 first_in_slice = False
@@ -1159,21 +1328,22 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                         raise ValueError("MPEG quantizer_scale 0")
                 mv_x = mv_y = mv_bx = mv_by = 0
                 if mf:
-                    dx = br.vlc(_MOTION_DEC, "motion_code")
-                    dy = br.vlc(_MOTION_DEC, "motion_code")
-                    mv_x = _wrap_mv(pmv_x + dx)
-                    mv_y = _wrap_mv(pmv_y + dy)
+                    dx = _read_motion(br, fr_f)
+                    dy = _read_motion(br, fr_f)
+                    mv_x = _wrap_mv(pmv_x + dx, fr_f)
+                    mv_y = _wrap_mv(pmv_y + dy, fr_f)
                     pmv_x, pmv_y = mv_x, mv_y
                 elif ptype != 3:
                     pmv_x = pmv_y = 0      # P no-MC: zero vector + reset
                 if mbk:
-                    dx = br.vlc(_MOTION_DEC, "motion_code")
-                    dy = br.vlc(_MOTION_DEC, "motion_code")
-                    mv_bx = _wrap_mv(pmv_bx + dx)
-                    mv_by = _wrap_mv(pmv_by + dy)
+                    dx = _read_motion(br, fr_b)
+                    dy = _read_motion(br, fr_b)
+                    mv_bx = _wrap_mv(pmv_bx + dx, fr_b)
+                    mv_by = _wrap_mv(pmv_by + dy, fr_b)
                     pmv_bx, pmv_by = mv_bx, mv_by
 
                 if intra:
+                    last_b = None          # B-skip after intra: illegal
                     pmv_x = pmv_y = pmv_bx = pmv_by = 0
                     planes = ((new_y, py, px, 0), (new_y, py, px + 8, 0),
                               (new_y, py + 8, px, 0),
@@ -1267,6 +1437,8 @@ def decode_mpeg1(payload: bytes) -> tuple[np.ndarray, tuple[int, ...]]:
                     pcb + residual[4], 0, 255).astype(np.uint8)
                 new_cr[cy:cy + 8, cx:cx + 8] = np.clip(
                     pcr + residual[5], 0, 255).astype(np.uint8)
+                if ptype == 3:
+                    last_b = (mf, mbk, mv_x, mv_y, mv_bx, mv_by)
 
                 if slice_done(br, mba):
                     break
