@@ -74,8 +74,8 @@ def test_driver_import_path_front_loads_priority():
         "import __spark_entry__ as E\n"
         "q, o = E.queries(), E.oracle_sql()\n"
         "assert len(q) == 50 and len(o) == 50, (len(q), len(o))\n"
-        "assert list(q)[:4] == ['tr2_resume', 'tr2_chronology',"
-        " 'tr2_sessions', 'tr2_per_referrer'], list(q)[:6]\n"
+        "assert list(q)[:4] == ['doc_span_dedup', 'doc_lm_ppl',"
+        " 'emb_semdedup_keep', 'doc_tfidf_top'], list(q)[:6]\n"
         "assert list(q) == list(o)\n" % REPO)
     r = subprocess.run([sys.executable, "-c", code],
                        capture_output=True, text=True, timeout=120)

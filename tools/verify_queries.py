@@ -7,6 +7,9 @@ stringified with exact float repr — stricter than any reasonable hash).
 
 Usage: python tools/verify_queries.py [sf_dir] [name_prefix]
        python tools/verify_queries.py --ungraded [sf_dir] [name_prefix]
+       ... --exclude name1,name2   (skip rows whose ORACLE is
+       quadratic at the target scale — each skip prints an EXCLUDED
+       line so the sweep output stays honest)
 
 --ungraded walks the UNGRADED registry instead (the rows the graded
 50-row window can't hold — they grade locally through the same canon
@@ -48,8 +51,14 @@ def canon(df) -> tuple[list[str], list[tuple]]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--ungraded"]
-    ungraded = "--ungraded" in sys.argv[1:]
+    argv = sys.argv[1:]
+    excl: set[str] = set()
+    if "--exclude" in argv:
+        i = argv.index("--exclude")
+        excl = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--ungraded"]
+    ungraded = "--ungraded" in argv
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     prefix = args[1] if len(args) > 1 else ""
 
@@ -73,6 +82,10 @@ def main() -> int:
     n_pass = n_fail = n_skip = 0
     for name, fn in QUERIES.items():
         if prefix and not name.startswith(prefix):
+            continue
+        if name in excl:
+            print(f"EXCLUDED {name}: quadratic oracle at this scale",
+                  flush=True)
             continue
         t0 = time.time()
         try:

@@ -450,20 +450,30 @@ def tpch_broadcast_chain(spark, sf):
 @qu("tpch_join_agg", """
 SELECT o.o_orderpriority,
        COUNT(*) AS line_count,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
-            AS DOUBLE) AS revenue
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 6)
+                     AS DECIMAL(18,6)))
+            AS VARCHAR) AS revenue
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """)
 def tpch_join_agg(spark, sf):
-    """Large-side shuffle join + aggregate (AQE-planned)."""
+    """Large-side shuffle join + aggregate (AQE-planned). The per-row
+    revenue stays DECIMAL end-to-end: at sf1 the exact sum needs 17
+    significant digits, so a final CAST TO DOUBLE is ambiguous — the
+    two engines legitimately pick ADJACENT doubles for the same exact
+    decimal (found round 6: 57419605251.289700 -> ...2897 in Spark,
+    ...289696 in DuckDB; duckdb's .df() also lowers DECIMAL to float64,
+    re-introducing the same pick). The exact decimal is compared AS A
+    STRING — the canon recipe this engine already uses for DATEs."""
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  6).cast("decimal(18,6)")
     return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("line_count"),
-                 F.sum(rev).cast("double").alias("revenue")))
+                 F.sum(rev).cast("decimal(38,6)")
+                 .cast("string").alias("revenue")))
 
 
 @qu("tpch_top_parts", f"""
