@@ -3,6 +3,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from webalizer_spark.operators.quality import (
+    bloom_contaminated_ids,
+    bloom_words,
     contaminated_ids,
     decontaminate,
     ngram_repetition,
@@ -87,6 +89,62 @@ def test_decontaminate_joins_are_broadcast(spark):
            docs.filter((F.col("doc_id") % 17 == 3)
                        & (F.size(toks) >= 8)).collect()}
     assert src and src <= bad
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """Bloom prefilter + exact confirm must equal the exact operator —
+    including at a DELIBERATELY tiny bitmap (m=64, k=2: false positives
+    guaranteed on this corpus) where only the confirm join keeps the
+    answer exact."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = F.split("text", " ")
+    bench = (docs.filter(F.col("doc_id") % 17 == 3)
+             .select(F.concat_ws(" ", F.slice(toks, 1, 8)).alias("text")))
+    exact = {r["doc_id"] for r in
+             contaminated_ids(docs, bench, n=8).collect()}
+    assert exact  # never vacuous: every bench source doc flags itself
+    for m_bits, k in ((1 << 16, 3), (64, 2)):
+        got = {r["doc_id"] for r in
+               bloom_contaminated_ids(docs, bench, n=8, m_bits=m_bits,
+                                      k=k).collect()}
+        assert got == exact, (m_bits, k)
+
+
+def test_bloom_words_properties(spark):
+    """Bitmap build: no false negatives ever; validation raises; empty
+    key set -> all-zero bitmap -> zero candidates."""
+    import pytest
+
+    keys = spark.createDataFrame(
+        [(i * 7919,) for i in range(200)], "gram_key bigint")
+    words = bloom_words(keys, m_bits=1 << 10, k=3)
+    assert len(words) == (1 << 10) // 64
+    from webalizer_spark.operators.quality import _bloom_hit
+    hits = keys.select(_bloom_hit(F.col("gram_key"), words, 3)
+                       .alias("h")).collect()
+    assert all(r["h"] for r in hits)  # membership is never missed
+    empty = bloom_words(keys.limit(0), m_bits=1 << 10, k=3)
+    assert set(empty) == {0}
+    with pytest.raises(ValueError):
+        bloom_words(keys, m_bits=100, k=3)       # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom_words(keys, m_bits=1 << 10, k=0)   # k out of range
+
+
+def test_bloom_confirm_join_never_ships_text(spark):
+    """Plan shape: the corpus reaches the confirm join as (doc_id,
+    gram_key) only — no text column in any Exchange — and the Bloom
+    test is a JVM literal-array filter, no Python UDF stage."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = F.split("text", " ")
+    bench = (docs.filter(F.col("doc_id") % 17 == 3)
+             .select(F.concat_ws(" ", F.slice(toks, 1, 8)).alias("text")))
+    plan = bloom_contaminated_ids(docs, bench, n=8)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
 
 
 def test_dedup_spans_semantics(spark):

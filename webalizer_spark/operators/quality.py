@@ -154,6 +154,95 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefilter decontamination (exact result, broadcast-free confirm)
+# ---------------------------------------------------------------------------
+
+
+def bloom_words(keys: DataFrame, key_col: str = "gram_key",
+                m_bits: int = 1 << 16, k: int = 3) -> list[int]:
+    """Build a Bloom bitmap over a bigint key column, returned as
+    ``m_bits/64`` long words.
+
+    The build is distributed: each key expands to its k bit positions
+    (``pmod(xxhash64(key, seed), m)``), positions group to 64-bit words
+    with a map-side-combining ``bit_or`` — ONE shuffle of at most
+    ``m_bits/64`` (word, bits) rows — and only the finished words are
+    collected (bounded by the bitmap size the caller chose, never by
+    the key count)."""
+    if m_bits % 64 or m_bits < 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if not 1 <= k <= 16:
+        raise ValueError("k must be in 1..16")
+    key = F.col(key_col)
+    pos = F.explode(F.array(*[
+        F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+        for seed in range(k)])).alias("pos")
+    rows = (keys.select(pos)
+            .select((F.col("pos") / 64).cast("int").alias("w"),
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("bigint"),
+                        (F.col("pos") % 64).cast("int")).alias("b"))
+            .groupBy("w").agg(F.bit_or("b").alias("bits"))
+            .collect())
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def _bloom_hit(key: Column, words: list[int], k: int) -> Column:
+    """True iff every one of the key's k Bloom positions is set in the
+    literal word array — pure JVM expressions, no Python in the row
+    path. ``words`` as a plan literal is the m_bits <= ~2^20 tier; at
+    a bigger m the same test ships the numpy bitmap in an Arrow UDF
+    closure instead (not needed at any fixture scale here)."""
+    arr = F.array(*[F.lit(int(w)).cast("bigint") for w in words])
+    m_bits = 64 * len(words)
+    hits = []
+    for seed in range(k):
+        pos = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        bit = F.call_function("shiftleft", F.lit(1).cast("bigint"),
+                              (pos % 64).cast("int"))
+        hits.append(word.bitwiseAND(bit) != 0)
+    out = hits[0]
+    for h in hits[1:]:
+        out = out & h
+    return out
+
+
+def bloom_contaminated_ids(docs: DataFrame, benchmark: DataFrame,
+                           n: int = 8, text_col: str = "text",
+                           bench_text_col: str = "text",
+                           m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
+    """``contaminated_ids`` with a Bloom prefilter — bit-identical
+    output, built for the scale where the benchmark gram set outgrows
+    a broadcast HashedRelation.
+
+    100 TB shape: ``contaminated_ids`` broadcasts every benchmark gram
+    key; fine for an eval set, impossible when "benchmark" is itself a
+    large held-out corpus (dedup-against-eval at CCNet scale). Here the
+    benchmark compresses to an m-bit Bloom bitmap (16 MiB covers ~10^8
+    grams at k=3 with a small FP rate) that rides the plan; corpus grams
+    test membership JVM-side and only the surviving CANDIDATES — a tiny,
+    contamination-rate-sized fraction — reach an exact left_semi join
+    against the true gram set (AQE sizes it; no broadcast needed on
+    either side). Bloom filters have no false negatives, so prefilter +
+    exact confirm == the exact operator, row for row; false positives
+    only cost confirm-join traffic. Reference intent parity: same as
+    ``decontaminate`` (IgnoreSite/HideAgent corpus-hygiene recast)."""
+    bench = benchmark.select(
+        F.explode(_gram_keys(_toks(bench_text_col), n)).alias("gram_key"))
+    words = bloom_words(bench, "gram_key", m_bits, k)
+    doc_grams = docs.select(
+        "doc_id",
+        F.explode(_gram_keys(_toks(text_col), n)).alias("gram_key"))
+    candidates = doc_grams.filter(_bloom_hit(F.col("gram_key"), words, k))
+    return (candidates.join(bench, "gram_key", "left_semi")
+            .select("doc_id").distinct())
+
+
+# ---------------------------------------------------------------------------
 # Cross-document span dedup (C4 / RefinedWeb style)
 # ---------------------------------------------------------------------------
 

@@ -1644,6 +1644,29 @@ def doc_decontam(spark, sf):
     return contaminated_ids(docs, bench, n=8)
 
 
+_DECONTAM_ORACLE = UNGRADED_ORACLE["doc_decontam"]
+
+
+@qu("doc_decontam_bloom", _DECONTAM_ORACLE)
+def doc_decontam_bloom(spark, sf):
+    """Bloom-prefilter decontamination (ungraded): SAME oracle SQL as
+    doc_decontam — the Bloom bitmap has no false negatives and the
+    exact confirm join removes its false positives, so prefilter +
+    confirm must reproduce the exact contaminated set row for row.
+    m=2^12 is deliberately small for the fixture so the prefilter
+    really passes false positives into the confirm join (the at-scale
+    rationale: a benchmark gram set too big to broadcast compresses to
+    a bitmap that rides the plan; only candidates reach any join)."""
+    from webalizer_spark.operators.quality import bloom_contaminated_ids
+
+    docs = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    bench = (docs.filter(F.col("doc_id") % 17 == 3)
+             .filter(F.size(toks) >= 8)
+             .select(F.concat_ws(" ", F.slice(toks, 1, 8)).alias("text")))
+    return bloom_contaminated_ids(docs, bench, n=8, m_bits=1 << 12, k=3)
+
+
 @q("doc_span_dedup", """
 WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
