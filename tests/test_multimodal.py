@@ -1047,3 +1047,59 @@ def test_mpeg1_motion_residual_coding_round_trip():
             got = _wrap_mv(pmv + d, fr)
             assert got == v, (f_code, v, got)
             pmv = got
+
+
+def test_image_dhash_brightness_invariance_and_cross_format():
+    """dHash properties, locally: (1) the same pixels encoded as BMP
+    and as PNG hash identically (cross-format exact dup detection),
+    (2) a uniform brightness shift leaves the hash unchanged (only
+    neighbour ORDER matters), (3) a horizontal mirror flips every
+    comparison -> maximal distance."""
+    from webalizer_spark.operators.multimodal import (
+        _dhash64,
+        decode_media,
+        encode_bmp24,
+        encode_png,
+    )
+
+    grad = np.tile(np.arange(0, 180, 10, dtype=np.uint8), (16, 1))
+    h_bmp = _dhash64(decode_media(encode_bmp24(grad), "image")[0])
+    h_png = _dhash64(decode_media(encode_png(grad), "image")[0])
+    assert h_bmp == h_png
+    brighter = np.clip(grad.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    assert _dhash64(brighter) == _dhash64(grad)
+    mirrored = grad[:, ::-1]
+    a, b = _dhash64(grad) & (2**64 - 1), _dhash64(mirrored) & (2**64 - 1)
+    assert bin(a ^ b).count("1") == 64
+
+
+def test_image_near_dup_pairs_end_to_end(spark):
+    """Three images through the Spark path: A (gradient, as BMP),
+    B = A brightness-shifted (as PNG — different container AND pixels,
+    same structure -> distance 0), C = mirrored (-> distance 64, no
+    pair). One corrupt row routes to ok=false and is excluded."""
+    from webalizer_spark.operators.multimodal import (
+        encode_bmp24,
+        encode_png,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    grad = np.tile(np.arange(0, 180, 10, dtype=np.uint8), (16, 1))
+    bright = np.clip(grad.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_bmp24(grad))),
+        (2, "image", bytearray(encode_png(bright))),
+        (3, "image", bytearray(encode_bmp24(grad[:, ::-1].copy()))),
+        (4, "image", bytearray(b"\x00garbage-not-an-image")),
+        (5, "audio", bytearray(b"ignored: wrong kind")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary")
+    sig = {r["media_id"]: r for r in image_dhash(media).collect()}
+    assert set(sig) == {1, 2, 3, 4}          # kind!=image skipped
+    assert sig[4]["ok"] is False
+    assert sig[1]["dhash"] == sig[2]["dhash"]
+    pairs = image_near_dup_pairs(media, max_hamming=10).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] \
+        == [(1, 2, 0)]

@@ -568,3 +568,99 @@ def test_dedup_substrings_no_text_through_anchor_exchange(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs resembling the target distribution must out-weigh noise:
+    the importance log-ratio is positive exactly on target-heavy
+    buckets. Held-out target-like docs (NOT in the target set) score
+    above noise docs."""
+    from webalizer_spark.operators.quality import (
+        dsir_logweights,
+        dsir_sample,
+    )
+
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            rows.append((i, "alpha beta gamma delta alpha beta"))
+        elif i % 4 == 1:  # target-like but NOT in the target set
+            rows.append((i, "alpha beta gamma delta"))
+        else:
+            rows.append((i, f"noise{i} junk{i} filler{i} blob{i}"))
+    docs = _docs(spark, rows)
+    target = docs.filter(F.col("doc_id") % 4 == 0)
+    lw = {r["doc_id"]: r["logw"]
+          for r in dsir_logweights(docs, target).collect()}
+    assert set(lw) == set(range(40))
+    like = [lw[i] for i in range(40) if i % 4 == 1]
+    noise = [lw[i] for i in range(40) if i % 4 >= 2]
+    assert min(like) > max(noise), (like, noise)
+    # Gumbel-top-k: deterministic, bounded, and score = logw + gumbel
+    top = dsir_sample(docs, target, k=10).collect()
+    assert len(top) == 10
+    assert top == dsir_sample(docs, target, k=10).collect()
+    import hashlib
+    import math
+    for r in top:
+        h = int(hashlib.md5(str(r["doc_id"]).encode())
+                .hexdigest()[:13], 16)
+        g = -math.log(-math.log((h + 1) / float((1 << 52) + 2)))
+        assert abs(r["score"] - (r["logw"] + g)) < 2e-6, r
+
+
+def test_dsir_scoring_pass_is_zero_shuffle(spark):
+    """The 100 TB contract: model FITTING aggregates to <=B rows
+    (bounded, collected once); SCORING is a per-row HOF fold over a
+    literal ratio array — the returned frame's plan has no Exchange
+    and no Python stage."""
+    from webalizer_spark.operators.quality import dsir_logweights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 29 == 7)
+    plan = dsir_logweights(docs, target)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_c4_line_filter_rules(spark):
+    """Every C4 rule on one hand-built doc: terminal punct, min words,
+    blocklist, brace, and the doc-level min_lines drop."""
+    from webalizer_spark.operators.quality import c4_line_filter
+
+    import pytest
+
+    good = "one two three four five."
+    df = _docs(spark, [
+        (1, "\n".join([
+            good,                              # kept
+            "one two three four five",         # no terminal punct
+            "short line here.",                # < 5 words
+            "download our JavaScript bundle now!",   # blocklist (fold)
+            "function f() { return 1; }.",     # brace
+            'he said "hello there my friend."',      # kept (ends .)
+            "why not ask a question?",         # kept (ends ?)
+        ])),
+        (2, "\n".join([good, good])),          # only 2 kept -> dropped
+    ])
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_kept"] == 3 and out[1]["n_dropped"] == 4
+    assert out[1]["text"].split("\n") == [
+        good,
+        'he said "hello there my friend."',
+        "why not ask a question?",
+    ]
+    with pytest.raises(ValueError):
+        c4_line_filter(df, min_words=0)
+
+
+def test_c4_line_filter_is_zero_shuffle(spark):
+    from webalizer_spark.operators.quality import c4_line_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = c4_line_filter(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan

@@ -102,3 +102,33 @@ def test_redact_leaves_non_pii_numerics_alone(spark):
     for i in (1, 2, 3, 4):
         assert got[i] == rows[i - 1][1], got[i]     # untouched
     assert "<CARD>" in got[5] and "<PHONE>" in got[6]
+
+
+def test_url_canonicalize_rules(spark):
+    from webalizer_spark.functions.scalars import url_canonicalize
+
+    cases = [
+        # default port dropped, case folded, fragment stripped
+        ("HTTP://Ex.COM:80/A/b?x=1#frag", "http://ex.com/A/b?x=1"),
+        ("https://ex.com:443/", "https://ex.com/"),
+        # non-default / wrong-scheme ports survive
+        ("https://ex.com:80/p", "https://ex.com:80/p"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+        ("ftp://Ex.Com:80/f", "ftp://ex.com:80/f"),
+        # empty path -> "/"
+        ("http://ex.com", "http://ex.com/"),
+        # tracking params dropped, survivors sorted; all-dropped -> no ?
+        ("http://ex.com/p?utm_source=a&b=2&a=1&ref=xyz&gclid=9",
+         "http://ex.com/p?a=1&b=2"),
+        ("http://ex.com/p?utm_only=1", "http://ex.com/p"),
+        # "ref" only as exact key; "refresh=1" survives
+        ("http://ex.com/p?refresh=1&ref", "http://ex.com/p?refresh=1"),
+        # no scheme -> untouched passthrough
+        ("not a url at all", "not a url at all"),
+        ("/relative/path?utm_source=x", "/relative/path?utm_source=x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(url_canonicalize(F.col("url")).alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)

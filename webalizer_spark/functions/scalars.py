@@ -112,3 +112,59 @@ def redact(text: Column,
     for placeholder, pattern in patterns:
         out = F.regexp_replace(out, pattern, placeholder)
     return out
+
+
+def url_canonicalize(url: Column,
+                     drop_params: tuple[str, ...] = (
+                         "utm_", "fbclid", "gclid", "ref")) -> Column:
+    """Canonical URL form for URL-level dedup — the normalization a
+    web-corpus pipeline applies before grouping by page identity
+    (extends the reference's URL handling [webalizer.c ƒunescape /
+    top-URL tables] with the crawl-dedup rules it never needed):
+
+    - strip the fragment (``#...``)
+    - lowercase scheme and host
+    - drop default ports (``:80`` for http, ``:443`` for https)
+    - empty path -> ``/``
+    - drop tracking query params (prefix match on ``drop_params``;
+      bare ``ref`` matches exactly or as ``ref=``), sort survivors
+      byte-wise, drop the ``?`` when none survive
+
+    Pure codegen expressions (regexp + array HOFs), no Python, no
+    shuffle; %XX unescaping is url_decode's job and deliberately NOT
+    applied here (decoding can change identity, e.g. %2F in paths)."""
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://",
+                                      1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:]*://([^/?#]*)", 1))
+    host = (F.when(scheme.eqNullSafe("http"),
+                   F.regexp_replace(hostport, ":80$", ""))
+            .when(scheme.eqNullSafe("https"),
+                  F.regexp_replace(hostport, ":443$", ""))
+            .otherwise(hostport))
+    rest = F.regexp_extract(u, r"^[^:]*://[^/?#]*([^#]*)", 1)
+    path = F.substring_index(rest, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return _url_rebuild(u, scheme, host, path, rest, drop_params)
+
+
+def _url_rebuild(u: Column, scheme: Column, host: Column, path: Column,
+                 rest: Column, drop_params: tuple[str, ...]) -> Column:
+    query = F.when(rest.contains("?"),
+                   F.regexp_extract(rest, r"\?(.*)$", 1)).otherwise("")
+
+    def keep(p: Column) -> Column:
+        cond = p != ""
+        for d in drop_params:
+            if d.endswith("_"):
+                cond = cond & ~F.startswith(p, F.lit(d))
+            else:
+                cond = cond & (p != d) & ~F.startswith(p, F.lit(d + "="))
+        return cond
+
+    params = F.array_sort(F.filter(F.split(query, "&"), keep))
+    qs = F.array_join(params, "&")
+    tail = F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs))
+    # non-URL inputs (no scheme) pass through untouched
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, tail))

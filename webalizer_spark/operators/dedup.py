@@ -217,10 +217,12 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 2, bits: int = 16,
         raise ValueError("pigeonhole blocking needs max_hamming < n_blocks")
     if bits % n_blocks:
         raise ValueError("bits must divide evenly into n_blocks")
-    if not 0 < bits <= 63:
-        # bigint shiftright sign-extends past bit 63: block keys built
-        # from a sign-set fingerprint would collide/diverge incorrectly
-        raise ValueError("bits must be in [1, 63] (bigint sign bit)")
+    if not 0 < bits <= 64:
+        # 64 is safe even though bigint shiftright sign-extends: every
+        # block value is masked to its low bw bits, which discards the
+        # extended sign bits, and bit_count(xor) is sign-correct — so a
+        # full-width fingerprint (e.g. a 64-bit image dHash) works
+        raise ValueError("bits must be in [1, 64]")
     bw = bits // n_blocks
     mask = (1 << bw) - 1
     spark = sig.sparkSession

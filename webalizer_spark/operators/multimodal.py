@@ -594,6 +594,77 @@ def sample_frames(media: DataFrame, every: int = 4) -> DataFrame:
     return media.mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+def _dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash of a decoded image: block-mean the
+    grayscale to 8 rows x 9 cols, compare horizontal neighbours, pack
+    row-major. Invariant to uniform brightness/contrast shifts (only
+    ORDER of neighbour means matters) — the property that makes dHash
+    the standard cheap near-dup key for images. Pure numpy, exactly
+    reproducible everywhere."""
+    a = arr.astype(np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    means = np.empty((8, 9), dtype=np.float64)
+    for i in range(8):
+        r0, r1 = i * h // 8, max((i + 1) * h // 8, i * h // 8 + 1)
+        for j in range(9):
+            c0, c1 = j * w // 9, max((j + 1) * w // 9, j * w // 9 + 1)
+            means[i, j] = a[r0:r1, c0:c1].mean()
+    bits = 0
+    for i in range(8):
+        for j in range(8):
+            if means[i, j] > means[i, j + 1]:
+                bits |= 1 << (i * 8 + j)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+DHASH_SCHEMA = "media_id bigint, ok boolean, dhash bigint"
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual dHash per image row — decode + hash in one Arrow
+    pass, payloads never shuffle; corrupt rows surface as ok=false.
+    Identical pixels hash identically regardless of container format
+    (a BMP and a PNG of the same image are exact dHash duplicates)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                if kind != "image":
+                    continue
+                try:
+                    arr, shape = decode_media(bytes(payload), kind)
+                    if len(shape) < 2:
+                        raise ValueError("not a 2-D image")
+                    out.append((int(mid), True, _dhash64(arr)))
+                except Exception:  # noqa: BLE001 — corrupt -> flagged row
+                    out.append((int(mid), False, None))
+            yield pd.DataFrame(out, columns=["media_id", "ok", "dhash"])
+
+    return media.mapInPandas(fn, schema=DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 10,
+                         n_blocks: int = 16,
+                         max_block_freq: int | None = None) -> DataFrame:
+    """Near-duplicate image pairs: dHash + the SAME pigeonhole
+    Hamming-join used for text SimHash (dedup.simhash_pairs, bits=64 —
+    any pair within max_hamming agrees on a whole 4-bit block, so
+    candidates come from an equi-join, never all-pairs). The multimodal
+    bridge into the dedup stack: payloads decode narrowly to 8-byte
+    fingerprints and only those cross any Exchange."""
+    from webalizer_spark.operators.dedup import simhash_pairs
+
+    sig = (image_dhash(media).filter(F.col("ok"))
+           .select("media_id", F.col("dhash").alias("simhash")))
+    return simhash_pairs(sig, max_hamming=max_hamming, bits=64,
+                         n_blocks=n_blocks, id_col="media_id",
+                         max_block_freq=max_block_freq)
+
+
 def decode_audio(payload: bytes,
                  meta_sr: int | None = None) -> tuple[np.ndarray, int]:
     """Audio-payload dispatch returning (samples, sample_rate) — the

@@ -486,6 +486,168 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame | None = None,
 
 
 # ---------------------------------------------------------------------------
+# C4-style line-level cleaning
+# ---------------------------------------------------------------------------
+
+
+def c4_line_filter(docs: DataFrame, min_words: int = 5,
+                   min_lines: int = 3,
+                   blocklist: tuple[str, ...] = ("javascript",
+                                                 "lorem ipsum", "cookie"),
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """C4's line-level cleaning rules, applied inside each document:
+
+    keep a line only if it (1) ends in a terminal punctuation mark
+    (``. ! ? "``), (2) has at least ``min_words`` whitespace words,
+    (3) contains no blocklist term (case-folded substring match) and
+    (4) contains no curly brace (the C4 lorem-ipsum/JS-code heuristics).
+    Documents with fewer than ``min_lines`` surviving lines are dropped
+    entirely (C4 drops pages with <3 sentences). Output: ``id_col``,
+    rebuilt ``text_col`` (kept lines joined by newline), ``n_kept``,
+    ``n_dropped``.
+
+    Scale design: pure per-row HOFs — split, filter-lambda, rebuild —
+    zero Exchange, zero Python; composes in front of the span/substring
+    dedup operators exactly as the C4 pipeline orders them."""
+    if min_words < 1 or min_lines < 1:
+        raise ValueError("min_words and min_lines must be >= 1")
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line: Column) -> Column:
+        low = F.lower(line)
+        cond = (line.rlike('[.!?"]$')
+                & (F.size(F.split(line, " ")) >= min_words)
+                & ~low.contains("{"))
+        for term in blocklist:
+            cond = cond & ~low.contains(term.lower())
+        return cond
+
+    kept = F.filter(lines, keep)
+    return (docs.select(
+                F.col(id_col),
+                F.array_join(kept, "\n").alias(text_col),
+                F.size(kept).alias("n_kept"),
+                (F.size(lines) - F.size(kept)).alias("n_dropped"))
+            .filter(F.col("n_kept") >= min_lines))
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-grams)
+# ---------------------------------------------------------------------------
+
+
+def _feat_buckets(toks: Column, n_buckets: int) -> Column:
+    """DSIR's hashed n-gram features: every unigram and bigram, md5-
+    prefix-hashed into ``n_buckets`` buckets (the repo's cross-engine
+    bigint hash recipe, mod B)."""
+    feats = F.concat(toks, _grams(toks, 2))
+    return F.transform(
+        feats,
+        lambda g: (F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+                   .cast("bigint") % n_buckets).cast("int"))
+
+
+def dsir_bucket_logratios(docs: DataFrame, target: DataFrame,
+                          n_buckets: int = 1024, alpha: float = 0.5,
+                          text_col: str = "text",
+                          target_text_col: str = "text") -> DataFrame:
+    """Fit the two DSIR bag-of-hashed-ngrams models and return one row
+    per bucket with the importance log-ratio
+    ``ln(p_target(b)) - ln(p_raw(b))`` (add-alpha smoothed, ROUND 6 for
+    the cross-engine determinism recipe).
+
+    Scale design: model fitting is two feature-count aggregations whose
+    outputs are bounded by B (map-side combine collapses each task to
+    <= B rows before the Exchange), plus two scalar totals. Nothing
+    here grows with the corpus."""
+    def counts(df: DataFrame, tc: str, out: str) -> DataFrame:
+        return (df.select(F.explode(
+                    _feat_buckets(_toks_safe(tc), n_buckets)).alias("b"))
+                .groupBy("b").agg(F.count(F.lit(1)).alias(out)))
+
+    raw_cnt = counts(docs, text_col, "rc")
+    tgt_cnt = counts(target, target_text_col, "tc")
+    totals = (raw_cnt.agg(F.sum("rc")).first()[0] or 0,
+              tgt_cnt.agg(F.sum("tc")).first()[0] or 0)
+    denom_r = float(totals[0]) + alpha * n_buckets
+    denom_t = float(totals[1]) + alpha * n_buckets
+    spark = docs.sparkSession
+    allb = spark.range(n_buckets).select(F.col("id").alias("b"))
+    return (allb
+            .join(F.broadcast(raw_cnt), "b", "left")
+            .join(F.broadcast(tgt_cnt), "b", "left")
+            .select(
+                F.col("b").cast("int").alias("b"),
+                F.round(
+                    F.log((F.coalesce("tc", F.lit(0)) + alpha) / denom_t)
+                    - F.log((F.coalesce("rc", F.lit(0)) + alpha) / denom_r),
+                    6).cast("decimal(18,6)").alias("log_ratio")))
+
+
+def _toks_safe(text_col: str) -> Column:
+    """NULL text scores like the empty string (one '' unigram) instead
+    of poisoning HOF aggregates with NULL arrays."""
+    return F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+
+
+def dsir_logweights(docs: DataFrame, target: DataFrame,
+                    n_buckets: int = 1024, alpha: float = 0.5,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    target_text_col: str = "text") -> DataFrame:
+    """Per-document DSIR importance log-weight
+    ``sum over features f of (ln p_t(f) - ln p_r(f))``.
+
+    Scale design: the fitted B-bucket log-ratio table is collected
+    (bounded by B, never by data) and embedded as a literal decimal
+    array, so SCORING is a zero-shuffle per-row HOF pass — each doc
+    folds its own feature buckets through element_at + exact decimal
+    adds. No join, no Exchange, no Python in the row path (contrast
+    lm_perplexity, which demonstrates the broadcast-join formulation;
+    at B beyond literal-plan size the same table rides a broadcast
+    join instead)."""
+    ratios = dsir_bucket_logratios(docs, target, n_buckets, alpha,
+                                   text_col, target_text_col).collect()
+    by_b = {r["b"]: r["log_ratio"] for r in ratios}
+    arr = F.array(*[F.lit(str(by_b[b])).cast("decimal(18,6)")
+                    for b in range(n_buckets)])
+    logw = F.aggregate(
+        _feat_buckets(_toks_safe(text_col), n_buckets),
+        F.lit("0").cast("decimal(28,6)"),
+        lambda acc, b: (acc + F.element_at(arr, b + 1))
+        .cast("decimal(28,6)"))
+    return docs.select(
+        F.col(id_col),
+        F.round(logw.cast("double"), 6).alias("logw"))
+
+
+def dsir_sample(docs: DataFrame, target: DataFrame, k: int,
+                n_buckets: int = 1024, alpha: float = 0.5,
+                id_col: str = "doc_id", text_col: str = "text",
+                target_text_col: str = "text") -> DataFrame:
+    """DSIR selection: top-k documents by importance log-weight plus
+    deterministic Gumbel noise (Gumbel-top-k == sampling without
+    replacement proportionally to the importance weights).
+
+    The Gumbel draw must be reproducible across engines, so u comes
+    from the doc id's md5 (13 hex digits -> (0,1), exact in a double)
+    and g = -ln(-ln(u)) rounds to 6dp before the add — no RNG state
+    anywhere. Selection is orderBy+limit (TakeOrderedAndProject: per-
+    partition heaps, no global sort) with doc_id as the tiebreak."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13),
+               16, 10).cast("bigint")
+    u = (h + 1).cast("double") / F.lit(float((1 << 52) + 2))
+    g = F.round(-F.log(-F.log(u)), 6)
+    lw = dsir_logweights(docs, target, n_buckets, alpha, id_col,
+                         text_col, target_text_col)
+    return (lw.select(
+                id_col, "logw",
+                F.round(F.col("logw") + g, 6).alias("score"))
+            .orderBy(F.desc("score"), id_col)
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
 # Corpus length distributions
 # ---------------------------------------------------------------------------
 

@@ -1859,6 +1859,163 @@ def doc_lm_ppl(spark, sf):
     return lm_perplexity(oov, lm=lm)
 
 
+@qu("doc_c4_lines", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(doc_id % 3 + 4 AS INTEGER) AS w
+  FROM documents
+), synth AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(1, CAST(floor((len(toks) + w - 1) / w) AS INTEGER) + 1),
+           j -> array_to_string(list_slice(toks, (j - 1) * w + 1, j * w),
+                                ' ')
+                || CASE WHEN (doc_id * 3 + j) % 13 = 0
+                        THEN ' cookie' ELSE '' END
+                || CASE (doc_id + j) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+                        WHEN 2 THEN '' ELSE '?' END
+         ), chr(10)) AS text
+  FROM t
+), cleaned AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x ->
+             regexp_matches(x, '[.!?"]$')
+             AND len(string_split(x, ' ')) >= 5
+             AND NOT contains(lower(x), '{')
+             AND NOT contains(lower(x), 'javascript')
+             AND NOT contains(lower(x), 'lorem ipsum')
+             AND NOT contains(lower(x), 'cookie')) AS kept,
+         len(string_split(text, chr(10))) AS nlines
+  FROM synth
+)
+SELECT doc_id, md5(array_to_string(kept, chr(10))) AS text_md5,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(nlines - len(kept) AS BIGINT) AS n_dropped
+FROM cleaned WHERE len(kept) >= 3
+""")
+def doc_c4_lines(spark, sf):
+    """C4 line-level cleaning (ungraded oracle): multi-line docs are
+    SYNTHESIZED deterministically from `documents` in both engines
+    (lines of 4..6 tokens; terminal punctuation from (doc_id+line)%4 —
+    one branch yields NO punctuation; a ' cookie' blocklist injection
+    every 13th line), then quality.c4_line_filter applies the C4 rules
+    (terminal punct, >=5 words, no blocklist term, no brace; docs with
+    <3 surviving lines dropped) while DuckDB re-derives the synthesis
+    AND the filter with list_filter — every rule branch fires on the
+    fixture by construction. Rebuilt text compared by md5."""
+    from webalizer_spark.operators.quality import c4_line_filter
+
+    docs = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    w = (F.col("doc_id") % 3 + 4).cast("int")
+    nl = F.floor((F.size(toks) + w - 1) / w).cast("int")
+
+    def mk(j):
+        base = F.concat_ws(" ", F.slice(toks, (j - 1) * w + 1, w))
+        blocked = F.when((F.col("doc_id") * 3 + j) % 13 == 0,
+                         F.lit(" cookie")).otherwise("")
+        m = (F.col("doc_id") + j) % 4
+        punct = (F.when(m == 0, ".").when(m == 1, "!")
+                 .when(m == 2, "").otherwise("?"))
+        return F.concat(base, blocked, punct)
+
+    synth = docs.select(
+        "doc_id",
+        F.array_join(F.transform(F.sequence(F.lit(1), nl), mk),
+                     "\n").alias("text"))
+    out = c4_line_filter(synth)
+    return out.select("doc_id", F.md5("text").alias("text_md5"),
+                      F.col("n_kept").cast("bigint").alias("n_kept"),
+                      F.col("n_dropped").cast("bigint").alias("n_dropped"))
+
+
+_DSIR_CTE = """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+  FROM documents
+), fb AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024 AS b
+  FROM (
+    SELECT doc_id, unnest(list_concat(
+      toks,
+      list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1])
+    )) AS g FROM t
+  )
+), tot AS (
+  SELECT COUNT(*) AS r_tot,
+         COUNT(*) FILTER (WHERE doc_id % 29 = 7) AS t_tot
+  FROM fb
+), cnt AS (
+  SELECT b, COUNT(*) AS rc,
+         COUNT(*) FILTER (WHERE doc_id % 29 = 7) AS tc
+  FROM fb GROUP BY b
+), ratios AS (
+  SELECT gs.b,
+         CAST(ROUND(
+           ln((coalesce(c.tc, 0) + 0.5) / (t_tot + 0.5 * 1024))
+           - ln((coalesce(c.rc, 0) + 0.5) / (r_tot + 0.5 * 1024)),
+         6) AS DECIMAL(18,6)) AS log_ratio
+  FROM (SELECT unnest(range(0, 1024)) AS b) gs
+  LEFT JOIN cnt c USING (b), tot
+), lw AS (
+  SELECT fb.doc_id,
+         ROUND(CAST(SUM(r.log_ratio) AS DOUBLE), 6) AS logw
+  FROM fb JOIN ratios r USING (b) GROUP BY fb.doc_id
+)
+"""
+
+
+def _dsir_target(docs):
+    return docs.filter(F.col("doc_id") % 29 == 7)
+
+
+@qu("doc_dsir_weights", _DSIR_CTE + """
+SELECT doc_id, logw FROM lw
+""")
+def doc_dsir_weights(spark, sf):
+    """DSIR importance log-weights (ungraded oracle): hashed uni+bigram
+    features (1024 md5 buckets), add-alpha models fit on the corpus
+    (raw) and on doc_id % 29 == 7 (the stand-in high-quality target),
+    per-doc log-weight = exact decimal sum of 6dp-rounded bucket
+    log-ratios. DuckDB refits both models and rescores every doc from
+    scratch — agreement pins feature extraction, bucket hashing,
+    smoothing and the fold. Scoring side is a zero-shuffle HOF pass
+    over a literal ratio array (plan-asserted in pytest)."""
+    from webalizer_spark.operators.quality import dsir_logweights
+
+    docs = _t(spark, sf, "documents")
+    return dsir_logweights(docs, _dsir_target(docs))
+
+
+@qu("doc_dsir_sample", _DSIR_CTE + """
+, g AS (
+  SELECT doc_id,
+         ROUND(-ln(-ln(
+           (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                 AS BIGINT) + 1) / 4503599627370498.0)), 6) AS gum
+  FROM t
+)
+SELECT lw.doc_id AS doc_id, lw.logw AS logw,
+       ROUND(lw.logw + g.gum, 6) AS score
+FROM lw JOIN g USING (doc_id)
+ORDER BY score DESC, doc_id
+LIMIT 50
+""")
+def doc_dsir_sample(spark, sf):
+    """DSIR Gumbel-top-k selection (ungraded oracle): importance
+    log-weight plus a DETERMINISTIC Gumbel draw (u from 13 md5 hex
+    digits of the doc id — exact in a double — g = -ln(-ln(u)) rounded
+    6dp), top-50 by (score DESC, doc_id). Gumbel-top-k equals sampling
+    without replacement proportional to the importance weights, with
+    no RNG state to reproduce across engines."""
+    from webalizer_spark.operators.quality import dsir_sample
+
+    docs = _t(spark, sf, "documents")
+    return dsir_sample(docs, _dsir_target(docs), k=50)
+
+
 @qu("doc_length_stats", """
 WITH t AS (
   SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
@@ -2005,6 +2162,75 @@ def doc_quality_bins(spark, sf):
     return quantile_bins(_t(spark, sf, "documents")
                          .select("doc_id", "n_chars"),
                          "n_chars", n_bins=4)
+
+
+@qu("evt_url_canon", """
+WITH u AS (
+  SELECT event_id,
+    CASE event_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+         ELSE 'Ftp' END AS scheme_raw,
+    'Site' || CAST(user_id % 20 AS VARCHAR) || '.Example.COM' AS host_raw,
+    CASE event_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+         WHEN 2 THEN ':8080' ELSE '' END AS port,
+    CASE WHEN event_id % 5 = 0 THEN ''
+         ELSE '/p/' || CAST(event_id % 50 AS VARCHAR) END AS path_raw,
+    CASE event_id % 6 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+         WHEN 1 THEN '?b=2&utm_campaign=z&a=1&ref=abc'
+         WHEN 2 THEN '?utm_only=1'
+         WHEN 3 THEN '?z=9&y=8' ELSE '' END AS query_raw
+  FROM events
+), c AS (
+  SELECT event_id,
+    lower(scheme_raw) AS scheme,
+    CASE WHEN lower(scheme_raw) = 'http' AND port = ':80'
+           THEN lower(host_raw)
+         WHEN lower(scheme_raw) = 'https' AND port = ':443'
+           THEN lower(host_raw)
+         ELSE lower(host_raw || port) END AS host,
+    CASE WHEN path_raw = '' THEN '/' ELSE path_raw END AS path,
+    list_sort(list_filter(string_split(ltrim(query_raw, '?'), '&'),
+        p -> p <> '' AND NOT starts_with(p, 'utm_')
+             AND p <> 'fbclid' AND NOT starts_with(p, 'fbclid=')
+             AND p <> 'gclid' AND NOT starts_with(p, 'gclid=')
+             AND p <> 'ref' AND NOT starts_with(p, 'ref='))) AS params
+  FROM u
+)
+SELECT event_id,
+       scheme || '://' || host || path ||
+       CASE WHEN len(params) = 0 THEN ''
+            ELSE '?' || array_to_string(params, '&') END AS canon_url
+FROM c
+""")
+def evt_url_canon(spark, sf):
+    """URL canonicalization (ungraded oracle): crawl-style raw URLs are
+    SYNTHESIZED from `events` (mixed-case scheme/host, default and
+    explicit ports incl. https:80 which must SURVIVE, empty paths,
+    tracking params, an all-tracking query that must lose its '?', and
+    fragments on every 7th row), then functions.scalars
+    .url_canonicalize normalizes them while DuckDB re-derives every
+    rule independently (the oracle never sees the fragment — its
+    synthesis simply omits what the engine must strip)."""
+    from webalizer_spark.functions.scalars import url_canonicalize
+
+    ev = _t(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    scheme_raw = (F.when(eid % 3 == 0, "HTTP")
+                  .when(eid % 3 == 1, "https").otherwise("Ftp"))
+    host_raw = F.concat(F.lit("Site"), s(uid % 20), F.lit(".Example.COM"))
+    port = (F.when(eid % 4 == 0, ":80").when(eid % 4 == 1, ":443")
+            .when(eid % 4 == 2, ":8080").otherwise(""))
+    path_raw = F.when(eid % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), s(eid % 50)))
+    query_raw = (F.when(eid % 6 == 0, "?utm_source=x&b=2&a=1")
+                 .when(eid % 6 == 1, "?b=2&utm_campaign=z&a=1&ref=abc")
+                 .when(eid % 6 == 2, "?utm_only=1")
+                 .when(eid % 6 == 3, "?z=9&y=8").otherwise(""))
+    frag = F.when(eid % 7 == 0,
+                  F.concat(F.lit("#sec"), s(eid % 3))).otherwise(F.lit(""))
+    url = F.concat(scheme_raw, F.lit("://"), host_raw, port, path_raw,
+                   query_raw, frag)
+    return ev.select("event_id", url_canonicalize(url).alias("canon_url"))
 
 
 @qu("evt_ip_class", """
