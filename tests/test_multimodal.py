@@ -1103,3 +1103,139 @@ def test_image_near_dup_pairs_end_to_end(spark):
     pairs = image_near_dup_pairs(media, max_hamming=10).collect()
     assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] \
         == [(1, 2, 0)]
+
+
+def test_audio_fp_gain_and_container_invariance():
+    """_audio_fp64 properties: (1) exact gain invariance (double
+    differences of band energies are linear in the g^2 energy scale,
+    signs unchanged), (2) WAV and FLAC of the same samples hash
+    identically (lossless containers), (3) different audio content is
+    far in Hamming distance, (4) too-short clips refuse."""
+    import pytest
+
+    from webalizer_spark.operators.flac import encode_flac
+    from webalizer_spark.operators.multimodal import (
+        _audio_fp64,
+        decode_audio,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(7)
+    t = np.arange(4000)
+    sig = (3000 * np.sin(2 * np.pi * t / 50)
+           + 1500 * np.sin(2 * np.pi * t / 13)
+           + 400 * rng.randn(4000)).astype(np.int16)
+    h = _audio_fp64(sig)
+    assert _audio_fp64(sig.astype(np.float64) * 2.5) == h
+    assert _audio_fp64(decode_audio(encode_wav_pcm16(sig, 16000))[0]) == h
+    assert _audio_fp64(decode_audio(encode_flac(sig, 16000))[0]) == h
+    other = (2000 * np.sin(2 * np.pi * t / 7)
+             + 500 * rng.randn(4000)).astype(np.int16)
+    dist = bin((_audio_fp64(other) ^ h) & (2**64 - 1)).count("1")
+    assert dist > 20, dist
+    with pytest.raises(ValueError, match="too short"):
+        _audio_fp64(np.zeros(10, np.int16))
+
+
+def test_audio_near_dup_pairs_end_to_end(spark):
+    """Audio near-dup through the Spark path: WAV and FLAC of the same
+    samples pair at distance 0; different content does not pair;
+    corrupt payloads flag ok=false; non-audio rows are skipped."""
+    from webalizer_spark.operators.flac import encode_flac
+    from webalizer_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(7)
+    t = np.arange(4000)
+    sig = (3000 * np.sin(2 * np.pi * t / 50)
+           + 1500 * np.sin(2 * np.pi * t / 13)
+           + 400 * rng.randn(4000)).astype(np.int16)
+    other = (2000 * np.sin(2 * np.pi * t / 7)
+             + 500 * rng.randn(4000)).astype(np.int16)
+    rows = [
+        (1, "audio", bytearray(encode_wav_pcm16(sig, 16000)), 16000),
+        (2, "audio", bytearray(encode_flac(sig, 16000)), None),
+        (3, "audio", bytearray(encode_wav_pcm16(other, 16000)), 16000),
+        (4, "audio", bytearray(b"\x99not-audio-at-all"), None),
+        (5, "image", bytearray(b"ignored: wrong kind"), None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary,"
+              " sample_rate int")
+    sig_rows = {r["media_id"]: r for r in audio_fingerprint(media).collect()}
+    assert set(sig_rows) == {1, 2, 3, 4}
+    assert sig_rows[4]["ok"] is False
+    assert sig_rows[1]["afp"] == sig_rows[2]["afp"]
+    pairs = audio_near_dup_pairs(media, max_hamming=10).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] \
+        == [(1, 2, 0)]
+
+
+def _demo_frames(nf=12, h=32, w=48):
+    fr = np.empty((nf, h, w), np.uint8)
+    for i in range(nf):
+        base = 40 + 15 * np.sin(i / 2.0) + 8 * np.cos(i)
+        fr[i] = np.clip(base + np.tile(np.arange(w), (h, 1)) * 0.5,
+                        0, 255).astype(np.uint8)
+    return fr
+
+
+def test_video_fp_invariances():
+    """_video_fp64 properties: exact gain invariance, stability under
+    exact frame duplication, far distance for unrelated footage AND
+    for time-reversed footage, single-frame refusal."""
+    import pytest
+
+    from webalizer_spark.operators.multimodal import _video_fp64
+
+    fr = _demo_frames()
+    v = _video_fp64(fr)
+    assert _video_fp64(fr.astype(np.float64) * 1.7) == v
+    assert _video_fp64(np.repeat(fr, 2, axis=0)) == v
+    rng = np.random.RandomState(99)
+    walk = np.cumsum(rng.choice([-9, 9], 12)) + 100
+    fr2 = np.clip(walk[:, None, None] + np.zeros((12, 32, 48)),
+                  0, 255).astype(np.uint8)
+    assert bin((_video_fp64(fr2) ^ v) & (2**64 - 1)).count("1") > 15
+    assert bin((_video_fp64(fr[::-1].copy()) ^ v)
+               & (2**64 - 1)).count("1") > 15
+    with pytest.raises(ValueError, match=">= 2 frames"):
+        _video_fp64(fr[:1])
+
+
+def test_video_near_dup_pairs_cross_codec(spark):
+    """The Y4M master and its lossy MPEG-1 re-encode pair up (frame
+    means survive coding nearly unchanged); unrelated footage does
+    not; corrupt rows flag ok=false."""
+    from webalizer_spark.operators.mpeg1 import encode_mpeg1
+    from webalizer_spark.operators.multimodal import (
+        encode_y4m,
+        video_fingerprint,
+        video_near_dup_pairs,
+    )
+
+    fr = _demo_frames()
+    rgb = np.repeat(fr[:, :, :, None], 3, axis=3)
+    rng = np.random.RandomState(99)
+    walk = np.cumsum(rng.choice([-9, 9], 12)) + 100
+    fr2 = np.clip(walk[:, None, None] + np.zeros((12, 32, 48)),
+                  0, 255).astype(np.uint8)
+    rows = [
+        (1, "video", bytearray(encode_y4m(fr))),
+        (2, "video", bytearray(encode_mpeg1(rgb, qscale=6, gop=6,
+                                            b_frames=1))),
+        (3, "video", bytearray(encode_y4m(fr2))),
+        (4, "video", bytearray(b"\x00\x00\x01\xb3truncated")),
+        (5, "audio", bytearray(b"ignored: wrong kind")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary")
+    fp = {r["media_id"]: r for r in video_fingerprint(media).collect()}
+    assert set(fp) == {1, 2, 3, 4}
+    assert fp[4]["ok"] is False
+    assert fp[1]["n_frames"] == fp[2]["n_frames"] == 12
+    pairs = video_near_dup_pairs(media, max_hamming=10).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]

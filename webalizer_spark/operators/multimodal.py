@@ -740,3 +740,151 @@ def audio_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
 
     return (media.select("media_id", "kind", "payload", "sample_rate")
             .mapInPandas(fn, schema=AUDIO_FEATURE_SCHEMA))
+
+
+def _audio_fp64(x: np.ndarray) -> int:
+    """64-bit robust audio fingerprint (Haitsma-Kalker shape, single
+    64-bit summary): split the clip into 9 equal time frames, rFFT
+    each, sum magnitude energy into 9 equal frequency bands, and take
+    the sign of the TIME-AND-FREQUENCY double difference
+    (E[t+1,b] - E[t+1,b+1]) - (E[t,b] - E[t,b+1]) for t,b in 0..7 —
+    64 bits, packed t-major. Uniform gain scales every E by g^2 and
+    double-differencing is linear, so the sign (hence the whole
+    fingerprint) is EXACTLY gain-invariant; lossless containers of the
+    same samples (WAV vs FLAC) hash identically. Pure numpy."""
+    x = x.astype(np.float64)
+    n = len(x)
+    if n < 18:
+        raise ValueError("clip too short to fingerprint (need >= 18 samples)")
+    energies = np.empty((9, 9), dtype=np.float64)
+    for t in range(9):
+        seg = x[t * n // 9:(t + 1) * n // 9]
+        mag = np.abs(np.fft.rfft(seg)) ** 2
+        m = len(mag)
+        for b in range(9):
+            b0, b1 = b * m // 9, max((b + 1) * m // 9, b * m // 9 + 1)
+            energies[t, b] = mag[b0:b1].sum()
+    d = energies[:, :-1] - energies[:, 1:]        # freq difference
+    dd = d[1:, :] - d[:-1, :]                     # then time difference
+    bits = 0
+    for t in range(8):
+        for b in range(8):
+            if dd[t, b] > 0:
+                bits |= 1 << (t * 8 + b)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+AFP_SCHEMA = "media_id bigint, ok boolean, afp bigint"
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Per-clip 64-bit audio fingerprint — decode + hash in one Arrow
+    pass (payloads never shuffle), corrupt/too-short rows flagged
+    ok=false. The audio leg of the multimodal near-dup bridge."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload, meta_sr in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"],
+                    pdf["sample_rate"]):
+                if kind != "audio":
+                    continue
+                try:
+                    sr_hint = None if pd.isna(meta_sr) else int(meta_sr)
+                    s, _sr = decode_audio(bytes(payload), sr_hint)
+                    out.append((int(mid), True, _audio_fp64(s)))
+                except Exception:  # noqa: BLE001 — corrupt -> flagged row
+                    out.append((int(mid), False, None))
+            yield pd.DataFrame(out, columns=["media_id", "ok", "afp"])
+
+    return (media.select("media_id", "kind", "payload", "sample_rate")
+            .mapInPandas(fn, schema=AFP_SCHEMA))
+
+
+def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 10,
+                         n_blocks: int = 16,
+                         max_block_freq: int | None = None) -> DataFrame:
+    """Near-duplicate audio pairs: fingerprint + the SAME pigeonhole
+    Hamming equi-join as text SimHash and image dHash
+    (dedup.simhash_pairs at bits=64) — candidates from block-key
+    equality, exact bit_count verification, never all-pairs. Only
+    8-byte fingerprints cross any Exchange."""
+    from webalizer_spark.operators.dedup import simhash_pairs
+
+    sig = (audio_fingerprint(media).filter(F.col("ok"))
+           .select("media_id", F.col("afp").alias("simhash")))
+    return simhash_pairs(sig, max_hamming=max_hamming, bits=64,
+                         n_blocks=n_blocks, id_col="media_id",
+                         max_block_freq=max_block_freq)
+
+
+def _video_fp64(frames: np.ndarray) -> int:
+    """64-bit temporal video fingerprint: per-frame mean luma resampled
+    (nearest-index) to 64 points across the clip, bit i = traj[i] >
+    median(traj) — "which parts of the clip are brighter than its
+    middle brightness". The median-threshold form (not adjacent-frame
+    differences: with nf << 64 resampled neighbours usually repeat the
+    SAME frame, zeroing most difference bits and collapsing distances
+    between unrelated clips). Gain-invariant (the median scales with
+    any uniform brightness factor, so every comparison is preserved)
+    and stable under exact frame duplication (the resampled trajectory
+    revisits the same frame means; pinned in tests). A constant-
+    brightness clip hashes to all-zero bits — flat clips ARE mutual
+    near-dups under a brightness-trajectory key, documented behavior.
+    Needs >= 2 frames."""
+    nf = frames.shape[0]
+    if nf < 2:
+        raise ValueError("video fingerprint needs >= 2 frames")
+    means = frames.reshape(nf, -1).astype(np.float64).mean(axis=1)
+    traj = means[(np.arange(64) * nf) // 64]
+    med = float(np.median(traj))
+    bits = 0
+    for i in range(64):
+        if traj[i] > med:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+VFP_SCHEMA = "media_id bigint, ok boolean, vfp bigint, n_frames int"
+
+
+def video_fingerprint(media: DataFrame) -> DataFrame:
+    """Per-video 64-bit temporal fingerprint (decode + hash in one
+    Arrow pass; payloads never shuffle; corrupt or single-frame rows
+    flag ok=false). Lossy-codec tolerance comes from the Hamming join
+    downstream, not from the hash itself."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                if kind != "video":
+                    continue
+                try:
+                    arr, shape = decode_media(bytes(payload), kind)
+                    out.append((int(mid), True, _video_fp64(arr),
+                                int(shape[0])))
+                except Exception:  # noqa: BLE001 — corrupt -> flagged row
+                    out.append((int(mid), False, None, None))
+            yield pd.DataFrame(out,
+                               columns=["media_id", "ok", "vfp", "n_frames"])
+
+    return media.mapInPandas(fn, schema=VFP_SCHEMA)
+
+
+def video_near_dup_pairs(media: DataFrame, max_hamming: int = 10,
+                         n_blocks: int = 16,
+                         max_block_freq: int | None = None) -> DataFrame:
+    """Near-duplicate video pairs through the shared pigeonhole
+    Hamming join (bits=64): re-encodes of the same footage (e.g. Y4M
+    master vs its MPEG-1 encode) land within a small Hamming distance
+    because lossy coding perturbs frame means only slightly."""
+    from webalizer_spark.operators.dedup import simhash_pairs
+
+    sig = (video_fingerprint(media).filter(F.col("ok"))
+           .select("media_id", F.col("vfp").alias("simhash")))
+    return simhash_pairs(sig, max_hamming=max_hamming, bits=64,
+                         n_blocks=n_blocks, id_col="media_id",
+                         max_block_freq=max_block_freq)
