@@ -664,3 +664,56 @@ def test_c4_line_filter_is_zero_shuffle(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_profile_table_semantics(spark):
+    """profile_table: null counting, exact distincts, the min/max
+    render policy (double -> DECIMAL(18,6) string), column subset,
+    unknown-column and empty refusals, and the approx tier staying
+    within HLL tolerance."""
+    import pytest
+
+    from webalizer_spark.operators.quality import profile_table
+
+    rows = [(1, 2.5, "a"), (2, None, "b"), (3, 0.1234567, "b"),
+            (None, 2.5, None)]
+    df = spark.createDataFrame(rows, "id bigint, score double, tag string")
+    prof = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "score", "tag"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert prof["id"]["n_nulls"] == 1 and prof["id"]["n_distinct"] == 3
+    assert prof["score"]["n_nulls"] == 1 and prof["score"]["n_distinct"] == 2
+    # 7th decimal rounds away under the 6dp policy
+    assert prof["score"]["min_val"] == "0.123457"
+    assert prof["score"]["max_val"] == "2.500000"
+    assert prof["tag"]["min_val"] == "a" and prof["tag"]["max_val"] == "b"
+
+    sub = profile_table(df, columns=["tag"]).collect()
+    assert len(sub) == 1 and sub[0]["column_name"] == "tag"
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, columns=["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        profile_table(df, columns=[])
+
+    approx = {r["column_name"]: r
+              for r in profile_table(df, exact=False).collect()}
+    for c in prof:
+        exact_nd, approx_nd = prof[c]["n_distinct"], approx[c]["n_distinct"]
+        assert abs(approx_nd - exact_nd) <= max(1, int(0.2 * exact_nd))
+
+
+def test_profile_table_single_aggregate_plan(spark):
+    """The exact=False tier must compile to ONE aggregate pass with no
+    Expand (the multi-count_distinct Expand is the thing the approx
+    tier exists to avoid at scale)."""
+    from webalizer_spark.operators.quality import profile_table
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS a",
+                                     "CAST(id % 3 AS STRING) AS b")
+    plan = profile_table(df, exact=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = profile_table(df, exact=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" in exact_plan  # documents the exact-tier trade

