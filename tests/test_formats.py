@@ -242,6 +242,45 @@ def test_alb_lines_parse(spark):
             assert r[k] == v, f"alb.{k}: {r[k]!r} != {v!r}"
 
 
+def test_haproxy_lines_parse(spark):
+    """HAProxy `option httplog` syslog lines: 64-char-head detection
+    (long hostnames push the tag past the 40-char window), client ip
+    from client:port, accept date truncated past millis, negative
+    error timers, logasap '+'-prefixed bytes, zero/one/two optional
+    {header captures}, <BADREQ> request lines -> all-NULL (bad
+    record)."""
+    lines = [
+        ('Feb 06 12:14:14 lb1.very-long-hostname.internal.example '
+         'haproxy[14389]: 10.0.1.2:33317 [06/Feb/2009:12:14:14.655] '
+         'http-in static/srv1 10/0/30/69/109 200 2750 - - ---- '
+         '1/1/1/1/0 0/0 "GET /index.html HTTP/1.1"',
+         dict(actor="10.0.1.2", verb="GET", path="/index.html",
+              status_text="200", bytes_text="2750",
+              dt_text="06/Feb/2009:12:14:14", referrer=None,
+              agent_str=None)),
+        # error row: negative timers, logasap '+' bytes, two captures
+        ('Jan 03 09:00:01 lb0 haproxy[1000]: 10.9.8.7:51000 '
+         '[03/Jan/2024:09:00:01.001] http-in be2/srv3 -1/-1/-1/-1/+30 '
+         '503 +194 - - sC-- 3/3/1/1/0 1/0 {Mozilla/5.0|keep-alive} '
+         '{text/html} "POST /api/v1?x=2 HTTP/1.1"',
+         dict(actor="10.9.8.7", verb="POST", path="/api/v1?x=2",
+              status_text="503", bytes_text="194",
+              dt_text="03/Jan/2024:09:00:01")),
+        ('Jan 03 09:00:02 lb0 haproxy[1000]: 10.9.8.7:51001 '
+         '[03/Jan/2024:09:00:02.002] http-in be2/srv3 0/0/0/0/5 400 '
+         '187 - - PR-- 1/1/0/0/0 0/0 "<BADREQ>"',
+         dict(actor=None, verb=None, path=None, status_text=None)),
+    ]
+    df = spark.createDataFrame([(l,) for l, _ in lines], "text string")
+    rows = {r["text"]: r for r in apply_grok_multi(df).collect()}
+    for line, fields in lines:
+        r = rows[line]
+        assert r["log_format"] == "haproxy", line[:40]
+        for k, v in fields.items():
+            assert r[k] == v, f"haproxy.{k}: {r[k]!r} != {v!r}"
+
+
+
 def test_parse_multi_fuzz_never_crashes(spark):
     """Fuzz invariant for the multi-format path: ARBITRARY lines —
     including ones that start like each grammar but break off — never

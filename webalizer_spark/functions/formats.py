@@ -29,6 +29,9 @@ Format grammars (transcript-domain analogs of the reference's):
              modern-collector extension beyond the reference's four.
   alb        AWS ALB/ELB access logs (type + ISO time + client:port +
              quoted absolute-URL request) — same extension rationale.
+  haproxy    HAProxy `option httplog` syslog lines (client:port +
+             [accept date] + timers + status/bytes + quoted request)
+             — same extension rationale.
 """
 
 from __future__ import annotations
@@ -77,6 +80,12 @@ def detect_format(text: Column, default: str = "combined") -> Column:
         .when(head.rlike(r"^(https?|h2|grpcs?|wss?) \d{4}-\d{2}-\d{2}T"),
               F.lit("alb"))
         .when(head.rlike(r"^\d{9,10}\.\d{3}\s"), F.lit("squid"))
+        # haproxy checks a 64-char head: the syslog hostname sits
+        # between the timestamp and the 'haproxy[' tag and can push
+        # the tag past the 40-char window the other tests use
+        .when(F.substring(text, 1, 64).rlike(
+            r"^\w{3} [ \d]\d \d{2}:\d{2}:\d{2} \S+ haproxy\["),
+            F.lit("haproxy"))
         .when(head.rlike(r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun) "), F.lit("xferlog"))
         .when(head.rlike(r"^#(Fields|Version|Date|Software|Remark)"),
               F.lit("w3c"))
@@ -132,6 +141,35 @@ ALB_PATTERN = (
 _ALB_MAP: list[int | str | None] = [4, None, None, 2, 13, 14, 9, 12,
                                     None, 15]
 
+# HAProxy HTTP log (`option httplog`, the syslog-line shape HAProxy
+# actually emits): syslog prefix + process tag, client:port, [accept
+# date with millis], frontend, backend/server, five timer fields,
+# status, bytes_read ('+' prefix under `option logasap`), two captured
+# cookies, termination state, five connection counters, two queue
+# depths, OPTIONAL {captured request/response headers}, quoted request.
+# '<BADREQ>' requests fail the quoted-request tail -> whole-pattern
+# miss -> NULL fields -> bad-record routing, the right disposition.
+# Same extension rationale as json/alb: widens the reference's LogType
+# dispatch [parser.c ƒparse_record] to a format modern proxies emit.
+HAPROXY_PATTERN = (
+    r"^\w{3} [ \d]\d \d{2}:\d{2}:\d{2} \S+ haproxy\[\d+\]: "
+    r"([\d.a-fA-F:]+):\d+ \[(\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2})\.\d+\] "
+    r"(\S+) (\S+)/(\S+) (-?\d+)/(-?\d+)/(-?\d+)/(-?\d+)/\+?(-?\d+) "
+    r"(\d{3}|-1) \+?(\d+) (\S+) (\S+) (\S+) "
+    r"(\d+)/(\d+)/(\d+)/(\d+)/(\d+) (\d+)/(\d+)"
+    r"(?: \{([^}]*)\})?(?: \{([^}]*)\})?"
+    r' "(\S+) ([^"\s]+)[^"]*".*$'
+)
+# groups: 1 client-ip 2 accept-datetime(sec) 3 frontend 4 backend
+#         5 server 6-10 timers 11 status 12 bytes 13-14 cookies
+#         15 termination 16-20 conn counters 21-22 queues
+#         23-24 optional header captures 25 verb 26 path
+# actor <- client ip; HAProxy logs carry no ident/user/referrer/agent
+# unless header captures are configured (capture CONTENT is deployment-
+# specific, so the canonical mapping leaves referrer/agent NULL)
+_HAPROXY_MAP: list[int | str | None] = [1, None, None, 2, 25, 26,
+                                        11, 12, None, None]
+
 # per-format to_timestamp pattern for the dt_text produced above;
 # squid is special-cased (epoch seconds, no pattern)
 TS_PATTERNS = {
@@ -146,6 +184,9 @@ TS_PATTERNS = {
     "json": "yyyy-MM-dd'T'HH:mm:ssXXX",
     "json_nocolon": "yyyy-MM-dd'T'HH:mm:ssX",
     "alb": "yyyy-MM-dd'T'HH:mm:ss",
+    # accept date, combined's shape without a zone (HAProxy logs the
+    # local clock; millis already dropped by the capture group)
+    "haproxy": "dd/MMM/yyyy:HH:mm:ss",
 }
 
 # JSON-lines key aliases -> canonical GROK_FIELDS column. Covers the
@@ -302,6 +343,8 @@ def apply_grok_multi(df: DataFrame, text_col: str = "text",
               _pack(src, XFERLOG_PATTERN, _XFERLOG_MAP))
         .when(F.col("log_format") == "alb",
               _pack(src, ALB_PATTERN, _ALB_MAP))
+        .when(F.col("log_format") == "haproxy",
+              _pack(src, HAPROXY_PATTERN, _HAPROXY_MAP))
         .when(F.col("log_format") == "json", _pack_json(src))
     )
     if w3c_fields is not None:

@@ -118,6 +118,9 @@ def parse_transcripts_multi(
               F.try_to_timestamp(F.col("dt_text"), F.lit(TS_PATTERNS["w3c"])))
         .when(fmt == "alb",
               F.try_to_timestamp(F.col("dt_text"), F.lit(TS_PATTERNS["alb"])))
+        .when(fmt == "haproxy",
+              F.try_to_timestamp(F.col("dt_text"),
+                                 F.lit(TS_PATTERNS["haproxy"])))
         .when(fmt == "json",
               # ISO-8601 first — colon offset (+03:00 / Z, nginx
               # time_iso8601), then compact offset (+03 / +0300 / Z) —

@@ -947,6 +947,109 @@ def tr2_alb(spark, sf):
         "status", "nbytes", "ts_text", "agent_str", "referrer", "parse_ok")
 
 
+def _synth_haproxy(spark, sf):
+    """events -> HAProxy `option httplog` syslog lines: space-padded
+    syslog prefix, varying hostnames/pids, client:port, accept date
+    with millis, backend/server names, negative timer fields on error
+    rows, '+'-prefixed bytes (option logasap) on every 5th row, one
+    optional {header-capture} brace group on every 3rd row and two on
+    every 9th, and '<BADREQ>' request lines (event_id % 89 == 0) that
+    must route as bad records."""
+    ev = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ts = F.date_trunc("second", F.col("ts"))
+    status = (F.when(F.col("event_type") == "error", F.lit(500) + eid % 4)
+              .otherwise(F.lit(200) + (eid % 2) * 100)).cast("int")
+    nbytes = F.floor(F.col("value") * 100).cast("long")
+    ip = F.concat(F.lit("10."), s(uid % 200), F.lit("."), s(uid % 250),
+                  F.lit("."), s(uid % 97))
+    path = F.concat(F.lit("/"), F.col("event_type"), F.lit("/e"),
+                    s(eid % 100),
+                    F.when(eid % 2 == 0,
+                           F.concat(F.lit("?q="), s(eid % 13)))
+                    .otherwise(F.lit("")))
+    verb = F.when(eid % 3 == 0, F.lit("GET")) \
+        .when(eid % 3 == 1, F.lit("POST")).otherwise(F.lit("PUT"))
+    timers = F.when(F.col("event_type") == "error",
+                    F.lit("-1/-1/-1/-1/+30")) \
+        .otherwise(F.concat(s(eid % 50), F.lit("/0/1/2/"), s(eid % 200)))
+    req = F.when(eid % 89 == 0, F.lit("<BADREQ>")).otherwise(
+        F.concat(verb, F.lit(" "), path, F.lit(" HTTP/1.1")))
+    captures = (F.when(eid % 9 == 0,
+                       F.lit(" {Mozilla/5.0|keep-alive} {text/html}"))
+                .when(eid % 3 == 0, F.lit(" {Mozilla/5.0}"))
+                .otherwise(F.lit("")))
+    line = F.concat(
+        F.date_format(ts, "MMM dd HH:mm:ss"),
+        F.lit(" lb"), s(eid % 3), F.lit(".example haproxy["),
+        s(F.lit(1000) + eid % 9000), F.lit("]: "),
+        ip, F.lit(":"), s(F.lit(20000) + eid % 10000), F.lit(" ["),
+        F.date_format(ts, "dd/MMM/yyyy:HH:mm:ss"),
+        F.format_string(".%03d", eid % 1000), F.lit("] http-in be"),
+        s(eid % 4), F.lit("/srv"), s(eid % 6), F.lit(" "),
+        timers, F.lit(" "), s(status), F.lit(" "),
+        F.when(eid % 5 == 0, F.lit("+")).otherwise(F.lit("")),
+        s(nbytes),
+        F.lit(" - - ---- 1/1/1/1/0 0/0"), captures,
+        F.lit(' "'), req, F.lit('"'))
+    return ev.select(
+        F.concat(F.lit("c"), s(eid % 1000)).alias("conv_id"),
+        eid.cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        line.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        ts.alias("ts"))
+
+
+@qu("tr2_haproxy", """
+WITH base AS (
+  SELECT event_id, user_id, date_trunc('second', ts) AS ts2, event_type,
+         CAST(CASE WHEN event_type = 'error' THEN 500 + event_id % 4
+              ELSE 200 + (event_id % 2) * 100 END AS INT) AS status,
+         CAST(FLOOR(value * 100) AS BIGINT) AS nbytes
+  FROM events
+)
+SELECT event_id, 'haproxy' AS log_format,
+       CASE WHEN event_id % 89 = 0 THEN NULL
+            ELSE '10.' || (user_id % 200) || '.' || (user_id % 250)
+                 || '.' || (user_id % 97) END AS actor,
+       CAST(NULL AS VARCHAR) AS auth_user,
+       CASE WHEN event_id % 89 = 0 THEN NULL
+            WHEN event_id % 3 = 0 THEN 'GET'
+            WHEN event_id % 3 = 1 THEN 'POST' ELSE 'PUT' END AS verb,
+       CASE WHEN event_id % 89 = 0 THEN NULL
+            ELSE '/' || event_type || '/e' || (event_id % 100)
+                 || CASE WHEN event_id % 2 = 0
+                         THEN '?q=' || (event_id % 13) ELSE '' END
+       END AS path,
+       CASE WHEN event_id % 89 = 0 THEN NULL ELSE status END AS status,
+       CASE WHEN event_id % 89 = 0 THEN NULL ELSE nbytes END AS nbytes,
+       CASE WHEN event_id % 89 = 0 THEN NULL ELSE ts2 END AS ts_text,
+       CAST(NULL AS VARCHAR) AS referrer,
+       CAST(NULL AS VARCHAR) AS agent_str,
+       event_id % 89 <> 0 AS parse_ok
+FROM base
+""")
+def tr2_haproxy(spark, sf):
+    """S2 HAProxy oracle (ungraded; graded window capped at 50): the
+    `option httplog` parse path end-to-end — syslog-prefix shape
+    detection on a 64-char head, client-ip from client:port, accept
+    date truncated past millis, negative error-row timers, logasap
+    '+'-prefixed bytes, zero/one/two optional {header-capture} groups,
+    and '<BADREQ>' request lines routed as bad records. The oracle
+    re-derives every field from the same events source with no regex
+    involved."""
+    from webalizer_spark.operators.parse import parse_transcripts_multi
+
+    p = parse_transcripts_multi(_synth_haproxy(spark, sf))
+    return p.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        "log_format", "actor", "auth_user", "verb", "path",
+        "status", "nbytes", "ts_text", "agent_str", "referrer", "parse_ok")
+
+
+
 # Re-apply the priority reorder + 50-row guard now that the tr2_* rows
 # exist. Required on the queries_synth-first import path (the driver's
 # __spark_entry__): the circular import runs queries.py's bottom while
