@@ -717,3 +717,63 @@ def test_profile_table_single_aggregate_plan(spark):
     exact_plan = profile_table(df, exact=True)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Expand" in exact_plan  # documents the exact-tier trade
+
+
+def test_bigram_perplexity_semantics(spark):
+    """lm_perplexity_bigram vs a from-scratch numpy re-derivation on a
+    tiny corpus: doc-initial tokens score unigram-only, seen bigrams
+    get the interpolated conditional, unseen bigrams fall to the
+    smoothing floor; lam bounds refuse; word order MATTERS (the
+    property unigram perplexity lacks)."""
+    import math
+
+    import pytest
+
+    from webalizer_spark.operators.quality import lm_perplexity_bigram
+
+    rows = [(1, "a b a b"), (2, "b a b a"), (3, "a a b b")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in lm_perplexity_bigram(docs).collect()}
+
+    toks = {i: t.split(" ") for i, t in rows}
+    cnt = {}
+    for t in toks.values():
+        for w in t:
+            cnt[w] = cnt.get(w, 0) + 1
+    total, vocab, alpha, lam = sum(cnt.values()), len(cnt), 0.5, 0.8
+    vw, v = {}, {}
+    for t in toks.values():
+        for a, b in zip(t, t[1:]):
+            vw[(a, b)] = vw.get((a, b), 0) + 1
+            v[a] = v.get(a, 0) + 1
+
+    def p_uni(w):
+        return math.exp(math.log(
+            (cnt[w] + alpha) / (total + alpha * (vocab + 1))))
+
+    for did, t in toks.items():
+        s = 0
+        for i, w in enumerate(t):
+            if i == 0:
+                p = p_uni(w)
+            else:
+                pb = ((vw.get((t[i - 1], w), 0) + alpha)
+                      / (v.get(t[i - 1], 0) + alpha * (vocab + 1)))
+                p = lam * pb + (1 - lam) * p_uni(w)
+            s += round(math.log(p), 6)
+        nll = round(-s, 6)
+        assert got[did]["ntok"] == len(t)
+        assert got[did]["nll"] == pytest.approx(nll, abs=2e-6)
+        assert got[did]["ppl"] == pytest.approx(
+            round(math.exp(nll / len(t)), 6), abs=2e-6)
+
+    # word salad: same unigram distribution, scrambled order -> higher
+    # bigram perplexity than the naturally ordered corpus majority
+    docs2 = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a b"), (3, "b b a a")],
+        "doc_id bigint, text string")
+    g2 = {r["doc_id"]: r["ppl"] for r in lm_perplexity_bigram(docs2).collect()}
+    assert g2[3] > g2[1]
+
+    with pytest.raises(ValueError, match="lam"):
+        lm_perplexity_bigram(docs, lam=1.0)

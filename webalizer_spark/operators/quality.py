@@ -1050,3 +1050,87 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
                     F.col("e.nd").alias("n_distinct"),
                     F.col("e.mn").alias("min_val"),
                     F.col("e.mx").alias("max_val")))
+
+
+def bigram_logmodel(docs: DataFrame, text_col: str = "text",
+                    alpha: float = 0.5) -> tuple[DataFrame, DataFrame]:
+    """Corpus bigram model components: ((prev, token, cnt_vw) pair
+    counts, (prev, cnt_v) context totals). Conditional probability is
+    assembled at scoring time as (cnt_vw + alpha) / (cnt_v + alpha *
+    (V + 1)) with V the UNIGRAM vocabulary — add-alpha over the
+    closed vocab + UNK, the same smoothing family as
+    unigram_logprobs. Two plain groupBy counts; nothing collected."""
+    pairs = (docs.select(F.explode(_bigram_pairs(text_col)).alias("p"))
+             .select(F.col("p.prev").alias("prev"),
+                     F.col("p.tok").alias("token"))
+             .where(F.col("prev").isNotNull()))
+    vw = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("cnt_vw"))
+    v = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cnt_v"))
+    return vw, v
+
+
+def _bigram_pairs(text_col: str) -> Column:
+    """(prev, tok) structs per position: prev NULL at position 0 (the
+    doc-initial token scores with the unigram model alone — no BOS
+    event pollutes the bigram counts). Pure HOF, no window, no
+    shuffle."""
+    toks = _toks_safe(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.struct(
+            F.when(i > 1, F.element_at(toks, i - 1)).alias("prev"),
+            F.element_at(toks, i).alias("tok")))
+
+
+def lm_perplexity_bigram(docs: DataFrame, lam: float = 0.8,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         alpha: float = 0.5) -> DataFrame:
+    """Per-document perplexity under an INTERPOLATED bigram LM trained
+    on the corpus: p(w|v) = lam * p_bigram(w|v) + (1-lam) *
+    p_unigram(w); doc-initial tokens score with the unigram component
+    alone. One step up the n-gram ladder from lm_perplexity toward
+    CCNet's KenLM reference — catches word-SALAD that unigram
+    perplexity cannot (right words, wrong order).
+
+    Scale shape: token pairs explode WITHOUT the text column (HOF
+    struct transform, no window); the bigram pair/context tables join
+    on their natural keys (AQE sizes them — they are count tables, far
+    smaller than the token stream); the unigram LM broadcasts like
+    lm_perplexity; per-token logp rounds to 6dp decimal pre-sum so the
+    result is aggregation-order-independent."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1) — lam=1 drops the "
+                         "unigram floor and unseen bigrams hit log(0)")
+    uni = unigram_logprobs(docs, text_col, alpha)
+    vocab = uni.where(F.col("token").isNotNull()) \
+        .agg(F.count(F.lit(1)).alias("_vocab"))
+    unk = uni.where(F.col("token").isNull()) \
+        .select(F.col("logp").alias("_unk_logp"))
+    vw, v = bigram_logmodel(docs, text_col, alpha)
+
+    pairs = (docs.select(id_col,
+                         F.explode(_bigram_pairs(text_col)).alias("p"))
+             .select(id_col, F.col("p.prev").alias("prev"),
+                     F.col("p.tok").alias("token")))
+    scored = (pairs
+              .join(vw, ["prev", "token"], "left")
+              .join(v, ["prev"], "left")
+              .join(F.broadcast(uni.where(F.col("token").isNotNull())
+                                .select("token", "logp")),
+                    "token", "left")
+              .crossJoin(F.broadcast(unk))
+              .crossJoin(F.broadcast(vocab)))
+    p_uni = F.exp(F.coalesce("logp", "_unk_logp"))
+    p_big = ((F.coalesce(F.col("cnt_vw"), F.lit(0)) + alpha)
+             / (F.coalesce(F.col("cnt_v"), F.lit(0))
+                + alpha * (F.col("_vocab") + 1)))
+    p = F.when(F.col("prev").isNull(), p_uni) \
+        .otherwise(lam * p_big + (1.0 - lam) * p_uni)
+    dec = F.round(F.log(p), 6).cast("decimal(24,6)")
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("ntok"),
+                 (-F.sum(dec)).cast("double").alias("nll"))
+            .select(id_col, "ntok",
+                    F.round("nll", 6).alias("nll"),
+                    F.round(F.exp(F.col("nll") / F.col("ntok")), 6)
+                    .alias("ppl")))

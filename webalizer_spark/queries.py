@@ -1859,6 +1859,66 @@ def doc_lm_ppl(spark, sf):
     return lm_perplexity(oov, lm=lm)
 
 
+@qu("doc_lm_ppl2", """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+  FROM documents
+), tok0 AS (
+  SELECT doc_id, unnest(toks) AS token,
+         generate_subscripts(toks, 1) AS i
+  FROM t
+), tok AS (
+  SELECT doc_id, token, i,
+         lag(token) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM tok0
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+), tot AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM c
+), lp AS (
+  SELECT token, ln((cnt + 0.5) / (total + 0.5 * (vocab + 1))) AS logp
+  FROM c, tot
+), vw AS (
+  SELECT prev, token, COUNT(*) AS cnt_vw FROM tok
+  WHERE prev IS NOT NULL GROUP BY prev, token
+), v AS (
+  SELECT prev, COUNT(*) AS cnt_v FROM tok
+  WHERE prev IS NOT NULL GROUP BY prev
+), scored AS (
+  SELECT tok.doc_id,
+         CASE WHEN tok.prev IS NULL THEN exp(lp.logp)
+              ELSE 0.8 * ((COALESCE(vw.cnt_vw, 0) + 0.5)
+                          / (COALESCE(v.cnt_v, 0) + 0.5 * (tot.vocab + 1)))
+                   + (1.0 - 0.8) * exp(lp.logp)
+         END AS p
+  FROM tok
+  LEFT JOIN vw ON tok.prev = vw.prev AND tok.token = vw.token
+  LEFT JOIN v ON tok.prev = v.prev
+  JOIN lp ON tok.token = lp.token
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok,
+       CAST(ROUND(-SUM(CAST(ROUND(ln(p), 6) AS DECIMAL(24,6))), 6)
+            AS DOUBLE) AS nll,
+       ROUND(exp(CAST(-SUM(CAST(ROUND(ln(p), 6) AS DECIMAL(24,6)))
+                      AS DOUBLE) / COUNT(*)), 6) AS ppl
+FROM scored GROUP BY 1
+""")
+def doc_lm_ppl2(spark, sf):
+    """Interpolated-bigram LM perplexity (ungraded oracle): one step up
+    the n-gram ladder from doc_lm_ppl toward CCNet's KenLM reference —
+    p(w|v) = 0.8 * p_bigram(w|v) + 0.2 * p_unigram(w), doc-initial
+    tokens unigram-only, add-alpha smoothing over the unigram vocab.
+    DuckDB re-derives pair/context counts with a lag window and rescores
+    every token (the engine uses a windowless HOF pair explode — the
+    opposite physical plan); 6dp-round-then-decimal-sum keeps both
+    engines order-independent. Unseen bigrams (cnt_vw = 0) occur
+    naturally in the corpus, so the smoothing floor branch is graded."""
+    from webalizer_spark.operators.quality import lm_perplexity_bigram
+
+    return lm_perplexity_bigram(_t(spark, sf, "documents"))
+
+
 @qu("doc_c4_lines", """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
