@@ -293,3 +293,31 @@ def test_streaming_rolling_zscore_matches_batch(spark, tmp_path):
            for r in spark.read.parquet(outdir).collect()}
     assert got == want
     assert len(got) == daily.count()
+
+
+def test_streaming_top_paths_match_batch(spark, transcripts, fixture_dir):
+    """The streaming top-N report equals the batch top_n over the same
+    fixture — same metric, same deterministic tie-break, same N-cut."""
+    from webalizer_spark.operators.topn import top_n
+    from webalizer_spark.streaming.session_stream import streaming_top_paths
+
+    schema = transcripts.schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "transcripts.parquet")
+              .parquet(fixture_dir))
+    q = _run_stream(streaming_top_paths(stream, n=10), "toppath_stream")
+    try:
+        got = [(r["path"], r["hits"], r["bytes_total"]) for r in
+               spark.sql("select * from toppath_stream"
+                         " order by hits desc, path asc").collect()]
+        parsed = parse_transcripts(transcripts)
+        batch_agg = (parsed.filter(F.col("parse_ok")
+                                   & F.col("path").isNotNull())
+                     .groupBy("path")
+                     .agg(F.count(F.lit(1)).alias("hits"),
+                          F.sum(F.col("nbytes")).alias("bytes_total")))
+        ref = [(r["path"], r["hits"], r["bytes_total"]) for r in
+               top_n(batch_agg, "hits", "path", 10).collect()]
+        assert got == ref and len(got) == 10
+    finally:
+        q.stop()

@@ -242,3 +242,24 @@ def streaming_rolling_zscore(daily: DataFrame, series_col: str = "event_type",
             .groupBy(series_col)
             .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def streaming_top_paths(stream: DataFrame, n: int = 10,
+                        cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Top-N paths by hits over the parsed stream — the report-table
+    family (W4/T1-T4) as a streaming twin. Reuses the batch parse
+    stage verbatim, aggregates per path, and applies the SAME
+    deterministic order as operators.topn.top_n (metric desc, key asc)
+    with a limit.
+
+    Runs in COMPLETE output mode (sort+limit is only defined over the
+    full updated result — Spark enforces this); the aggregation state
+    is one (path, hits, kbytes) row per distinct path, the same
+    cardinality the batch report table carries, and the sort runs over
+    the UPDATED AGGREGATE (report-table sized), never the raw stream."""
+    parsed = parse_transcripts(stream, strategy="split", cfg=cfg)
+    ok = parsed.filter(F.col("parse_ok") & F.col("path").isNotNull())
+    agg = (ok.groupBy("path")
+           .agg(F.count(F.lit(1)).alias("hits"),
+                F.sum(F.col("nbytes")).alias("bytes_total")))
+    return agg.orderBy(F.col("hits").desc(), F.col("path").asc()).limit(n)
