@@ -777,3 +777,25 @@ def test_bigram_perplexity_semantics(spark):
 
     with pytest.raises(ValueError, match="lam"):
         lm_perplexity_bigram(docs, lam=1.0)
+
+
+def test_pii_stats_chain_order_and_counts(spark):
+    """pii_stats counts what redact() replaces: an email's host is NOT
+    re-counted by later rules (chain order), multiple spans per doc
+    count individually, NULL text counts zero everywhere."""
+    from webalizer_spark.operators.quality import pii_stats
+
+    rows = [
+        (1, "mail a@b.co and c@d.org plus ip 10.0.0.1"),
+        (2, "card 4111 1111 1111 1111 then ssn 123-45-6789"),
+        (3, None),
+        (4, "clean text with number 20240201100000"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert (got[1]["n_email"], got[1]["n_ip"]) == (2, 1)
+    assert got[1]["n_pii"] == 3 and got[1]["has_pii"]
+    assert (got[2]["n_card"], got[2]["n_ssn"]) == (1, 1)
+    assert got[3]["n_pii"] == 0 and not got[3]["has_pii"]
+    # compact timestamps must NOT look like cards (redact's own rule)
+    assert got[4]["n_pii"] == 0

@@ -1134,3 +1134,32 @@ def lm_perplexity_bigram(docs: DataFrame, lam: float = 0.8,
                     F.round("nll", 6).alias("nll"),
                     F.round(F.exp(F.col("nll") / F.col("ntok")), 6)
                     .alias("ppl")))
+
+
+def pii_stats(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts under the scalars.REDACT_PATTERNS
+    chain — the audit table a corpus scrub produces alongside the
+    redacted text. Counts are taken on the PROGRESSIVELY-REDACTED
+    text, pattern by pattern in chain order, so they equal exactly
+    what redact() replaces (counting every pattern against the raw
+    text would double-count spans an earlier rule already consumed).
+    Pure codegen regexp_extract_all/regexp_replace stages — no UDF,
+    no shuffle, zero Exchange."""
+    from webalizer_spark.functions.scalars import REDACT_PATTERNS
+
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {}
+    for placeholder, pattern in REDACT_PATTERNS:
+        name = "n_" + placeholder.strip("<>").lower()
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pattern),
+                                                   F.lit(0)))
+        cur = F.regexp_replace(cur, pattern, placeholder)
+    total = None
+    cols = [F.col(id_col)]
+    for name, c in counts.items():
+        c = c.cast("bigint")
+        cols.append(c.alias(name))
+        total = c if total is None else total + c
+    return docs.select(*cols, total.alias("n_pii"),
+                       (total > 0).alias("has_pii"))

@@ -1919,6 +1919,96 @@ def doc_lm_ppl2(spark, sf):
     return lm_perplexity_bigram(_t(spark, sf, "documents"))
 
 
+@qu("doc_pii_stats", """
+WITH synth AS (
+  SELECT doc_id, coalesce(text, '')
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact u' || doc_id || '@ex' || (doc_id % 5) || '.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' from 10.' || (doc_id % 200) || '.2.' || (doc_id % 97)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' card 4111 1111 1111 1111'
+            WHEN doc_id % 5 = 2 THEN ' acct 4' || repeat('2', 14)
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' tel +1 (555) 123-4567'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789'
+            ELSE '' END AS text
+  FROM documents
+), st AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+    regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+        '<EMAIL>', 'g') AS t1
+  FROM synth
+), st2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ip,
+    regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t2
+  FROM st
+), st3 AS (
+  SELECT doc_id, n_email, n_ip,
+    len(regexp_extract_all(t2,
+        '\\b(?:\\d{4}[ -]){3}\\d{1,7}\\b|\\b[3-6]\\d{12,18}\\b')) AS n_card,
+    regexp_replace(t2,
+        '\\b(?:\\d{4}[ -]){3}\\d{1,7}\\b|\\b[3-6]\\d{12,18}\\b',
+        '<CARD>', 'g') AS t3
+  FROM st2
+), st4 AS (
+  SELECT doc_id, n_email, n_ip, n_card,
+    len(regexp_extract_all(t3,
+        '(?:\\+\\d{1,3}[ .-]?)?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b'))
+      AS n_phone,
+    regexp_replace(t3,
+        '(?:\\+\\d{1,3}[ .-]?)?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b',
+        '<PHONE>', 'g') AS t4
+  FROM st3
+), st5 AS (
+  SELECT doc_id, n_email, n_ip, n_card, n_phone,
+    len(regexp_extract_all(t4, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn
+  FROM st4
+)
+SELECT doc_id,
+       CAST(n_email AS BIGINT) AS n_email, CAST(n_ip AS BIGINT) AS n_ip,
+       CAST(n_card AS BIGINT) AS n_card, CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_ssn AS BIGINT) AS n_ssn,
+       CAST(n_email + n_ip + n_card + n_phone + n_ssn AS BIGINT) AS n_pii,
+       (n_email + n_ip + n_card + n_phone + n_ssn) > 0 AS has_pii
+FROM st5
+""")
+def doc_pii_stats(spark, sf):
+    """PII audit stats (ungraded oracle): PII spans are SYNTHESIZED
+    deterministically into `documents` text in both engines (emails,
+    IPs, grouped AND contiguous card numbers, an international phone,
+    SSNs — overlapping schedules so many docs carry several
+    categories), then quality.pii_stats counts matches pattern-by-
+    pattern on the progressively-redacted text (exactly what redact()
+    replaces) while DuckDB replays the same chain with RE2
+    regexp_extract_all/regexp_replace — two independent regex engines
+    agreeing on every count."""
+    from webalizer_spark.operators.quality import pii_stats
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" contact u"), s(did), F.lit("@ex"),
+                        s(did % 5), F.lit(".com"))).otherwise(""),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" from 10."), s(did % 200), F.lit(".2."),
+                        s(did % 97))).otherwise(""),
+        F.when(did % 5 == 0, F.lit(" card 4111 1111 1111 1111"))
+        .when(did % 5 == 2, F.lit(" acct 4" + "2" * 14)).otherwise(""),
+        F.when(did % 7 == 0, F.lit(" tel +1 (555) 123-4567")).otherwise(""),
+        F.when(did % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(""))
+    return pii_stats(docs.select("doc_id", text.alias("text")))
+
+
 @qu("doc_c4_lines", """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
