@@ -1065,7 +1065,10 @@ def bigram_logmodel(docs: DataFrame, text_col: str = "text",
                      F.col("p.tok").alias("token"))
              .where(F.col("prev").isNotNull()))
     vw = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("cnt_vw"))
-    v = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("cnt_v"))
+    # context totals re-aggregate the COUNT TABLE, not the token
+    # stream: sum_w c(v,w) == count of v in context position, and vw is
+    # orders of magnitude smaller than the pair stream it summarizes
+    v = vw.groupBy("prev").agg(F.sum("cnt_vw").alias("cnt_v"))
     return vw, v
 
 
