@@ -61,6 +61,10 @@ HEADLINE = [
     "doc_lm_ppl",
     "emb_semdedup_keep",
     "doc_mixture_rows",
+    # NEW late round 6 — no earlier comparison line (noted in BENCH.md)
+    "doc_lm_ppl2",
+    "evt_profile",
+    "doc_pii_stats",
 ]
 
 
