@@ -428,3 +428,23 @@ def test_semantic_dedup_cluster_path(spark):
     kept_capped = semantic_dedup(emb, 0.45, n_cells=2,
                                  max_cell_size=1).count()
     assert kept_capped == len(all_ids)
+
+
+def test_drop_non_best_members_keeper_semantics(spark):
+    """Quality-keeper tail: highest score wins, id-asc tiebreak,
+    NULL-scored members cannot win, an all-NULL component falls back
+    to its min-id label, non-dup rows always survive."""
+    from webalizer_spark.operators.dedup import drop_non_best_members
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, None), (5, 7),
+         (6, None), (7, None), (9, 1)],
+        "doc_id bigint, score bigint")
+    # component A: {1,2,3,4} -> 2 and 3 tie at 99, keep 2 (min id)
+    # component B: {5} via no edge -> untouched; {6,7}: all NULL ->
+    # fall back to min-id label 6; 9 untouched
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "doc_a bigint, doc_b bigint")
+    kept = sorted(r["doc_id"] for r in
+                  drop_non_best_members(docs, edges, "score").collect())
+    assert kept == [2, 5, 6, 9]

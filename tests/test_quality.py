@@ -821,3 +821,33 @@ def test_corpus_diff_semantics(spark):
     # text is consumed by md5 below the join; the join itself carries
     # only (id, hash) — no raw text attribute survives into the join
     assert "FullOuter" in plan.replace(" ", "")
+
+
+def test_html_to_text_rules(spark):
+    """html_to_text per rule: script/style content gone, comments
+    (incl. multi-line) gone, block closers become line breaks, inline
+    tags strip in place, entities decode with &amp; LAST (no
+    double-decode resurrecting markup), whitespace collapses per line,
+    empty lines drop."""
+    from webalizer_spark.operators.quality import html_to_text
+
+    cases = [
+        ("<p>hello   world</p><p>second</p>", "hello world\nsecond"),
+        ("<script>var p = '<p>x</p>';</script><p>kept</p>", "kept"),
+        ("<style>p{color:red}</style><p>kept</p>", "kept"),
+        ("<!-- multi\nline comment --><p>kept</p>", "kept"),
+        ("<p>a <b>bold</b> word</p>", "a bold word"),
+        ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+        ("5 &lt; 6 &amp; 7 &gt; 2", "5 < 6 & 7 > 2"),
+        # &amp;lt; is the LITERAL string '&lt;' — must not become '<'
+        ("<p>&amp;lt;</p>", "&lt;"),
+        ("<p></p><p> </p><p>only</p>", "only"),
+        ("no markup at all", "no markup at all"),
+        ("<SCRIPT>UPPER()</SCRIPT><P>case</P>", "case"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
+                               "i int, html string")
+    got = {r["i"]: r["t"] for r in
+           df.select("i", html_to_text(F.col("html")).alias("t")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)

@@ -415,3 +415,48 @@ def near_dup_remove(df: DataFrame, content_col: str = "text",
         max_bucket_size=max_bucket_size)
     dup = jaccard_pairs(sh, threshold, id_col, candidates=cand)
     return drop_non_min_members(df, dup.select("doc_a", "doc_b"), id_col)
+
+
+def drop_non_best_members(df: DataFrame, edges: DataFrame, score_col: str,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Quality-keeper dedup tail: connected components over the
+    verified edges, then keep the member with the HIGHEST score (tie:
+    lowest id) of each component — the practical variant of
+    drop_non_min_members when duplicates differ in completeness (keep
+    the longest / best-scored copy, not the accidental min id).
+
+    keeper = max_by over a (score, -id) struct: lexicographic struct
+    comparison gives score-desc-then-id-asc in ONE aggregate, no
+    window. Members whose score is NULL can't win max_by; a component
+    with NO scored member falls back to its min-id label, so rows are
+    never dropped without a surviving keeper. Same smallness-gated
+    broadcast on the final anti-join as drop_non_min_members."""
+    comp = connected_min_label(edges)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("v"), F.col(score_col).alias("_s")),
+        "v")
+    keep = scored.groupBy("label").agg(
+        F.expr("max_by(v, struct(_s, -v))").alias("keeper"))
+    drop = (scored.join(keep, "label")
+            .filter(F.col("v") != F.coalesce("keeper", "label"))
+            .select(F.col("v").alias(id_col)))
+    if drop.limit(_BROADCAST_DROP_MAX + 1).count() <= _BROADCAST_DROP_MAX:
+        drop = F.broadcast(drop)
+    return df.join(drop, id_col, "left_anti")
+
+
+def near_dup_remove_best(df: DataFrame, score_col: str,
+                         content_col: str = "text",
+                         id_col: str = "doc_id", threshold: float = 0.9,
+                         num_hashes: int = 8, rows_per_band: int = 2,
+                         max_bucket_size: int | None = None) -> DataFrame:
+    """near_dup_remove with the quality keeper: identical MinHash ->
+    LSH -> Jaccard-verify -> CC pipeline, but each dup component keeps
+    its best-`score_col` member instead of its minimum id."""
+    sh = shingles(df, content_col, 1, id_col)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes, id_col), rows_per_band, id_col,
+        max_bucket_size=max_bucket_size)
+    dup = jaccard_pairs(sh, threshold, id_col, candidates=cand)
+    return drop_non_best_members(df, dup.select("doc_a", "doc_b"),
+                                 score_col, id_col)

@@ -1189,3 +1189,32 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     return (j.withColumn("change", change)
             .where(F.col("change").isNotNull())
             .select(id_col, "change"))
+
+
+def html_to_text(html: Column) -> Column:
+    """HTML -> text extraction, the first step of a web-corpus
+    pipeline (the engine-native core of what WET extractors do):
+
+    - drop <script>/<style> elements WITH their content, and comments
+    - block-level closers/breaks (</p> </div> </li> </h1..6> <br>)
+      become newlines; every other tag strips to nothing
+    - decode the common entities (&amp; &lt; &gt; &quot; &#39; &nbsp;)
+      — &amp; LAST, so '&amp;lt;' decodes to the literal '&lt;' and
+      double-decoding cannot resurrect markup
+    - per-line whitespace collapse + trim, empty lines dropped
+
+    Pure codegen regexp stages plus an array HOF for line cleanup —
+    no UDF, no shuffle. Case-insensitive, dotall where content spans
+    lines."""
+    t = F.regexp_replace(html, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>",
+                         " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|li|h[1-6]|tr|title)\s*>|<br\s*/?>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    lines = F.transform(F.split(t, "\n"),
+                        lambda ln: F.trim(F.regexp_replace(ln, r"\s+", " ")))
+    return F.array_join(F.filter(lines, lambda ln: ln != ""), "\n")

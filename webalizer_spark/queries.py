@@ -1235,6 +1235,33 @@ def doc_near_dup_keep(spark, sf):
         .select("doc_id", "source")
 
 
+@qu("doc_near_dup_keep_best", _DUP_CC_CTE + """
+, ranked AS (
+  SELECT labels.v, labels.label, d.n_chars,
+         row_number() OVER (PARTITION BY labels.label
+                            ORDER BY d.n_chars DESC, labels.v ASC) AS rn
+  FROM labels JOIN documents d ON labels.v = d.doc_id
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT v FROM ranked WHERE rn > 1)
+""")
+def doc_near_dup_keep_best(spark, sf):
+    """Quality-keeper near-dup removal (ungraded oracle): the same
+    MinHash -> LSH -> Jaccard-verify -> CC pipeline as
+    doc_near_dup_keep, but each dup component keeps its LONGEST member
+    (n_chars desc, id asc tiebreak) — the practical keeper when
+    duplicates differ in completeness. The engine picks the keeper via
+    ONE max_by over a (score, -id) struct (no window); DuckDB
+    re-derives it with a row_number window over the recursive-CTE
+    closure — opposite physical plans, same kept set."""
+    from webalizer_spark.operators.dedup import near_dup_remove_best
+    d = _t(spark, sf, "documents")
+    return near_dup_remove_best(d, "n_chars", "text", "doc_id",
+                                threshold=0.9, num_hashes=8,
+                                rows_per_band=2) \
+        .select("doc_id", "source")
+
+
 @q("doc_simhash_pairs", _TOKS_CTE + """
 , h AS (
   SELECT doc_id,
@@ -1962,6 +1989,85 @@ def doc_corpus_diff(spark, sf):
                        F.concat(F.lit("fresh doc "),
                                 did.cast("string")).alias("text"))))
     return corpus_diff(docs, new)
+
+
+@qu("doc_html_text", """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+         CAST(doc_id % 3 + 5 AS INTEGER) AS w
+  FROM documents
+), paras AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, CAST(floor((len(toks) + w - 1) / w) AS INTEGER) + 1),
+           j -> trim(array_to_string(
+                  list_slice(toks, (j - 1) * w + 1, j * w), ' ')
+                || CASE WHEN (doc_id + j) % 4 = 0
+                        THEN ' AT&T' ELSE '' END)) AS lines
+  FROM t
+), expected AS (
+  SELECT doc_id,
+         'Page ' || (doc_id % 10) || chr(10)
+         || array_to_string(list_filter(lines, x -> x <> ''), chr(10))
+           AS text
+  FROM paras
+), final AS (
+  SELECT doc_id, CASE WHEN text LIKE '%' || chr(10)
+                      THEN substr(text, 1, len(text) - 1)
+                      ELSE text END AS text
+  FROM expected
+)
+SELECT doc_id, md5(text) AS text_md5,
+       CAST(CASE WHEN text = '' THEN 0
+            ELSE len(string_split(text, chr(10))) END AS BIGINT) AS n_lines
+FROM final
+""")
+def doc_html_text(spark, sf):
+    """HTML -> text extraction (ungraded oracle): HTML pages are
+    SYNTHESIZED from `documents` (title + <style> head, paragraphs of
+    5..7 tokens, every 2nd paragraph <b>-wrapped, comments and
+    <script> blocks on fixed schedules, an '&amp;' entity marker every
+    4th paragraph), then quality.html_to_text extracts the text.
+    The oracle NEVER strips HTML — it derives the expected text
+    directly from the same synthesis inputs (title line + paragraph
+    lines + decoded markers; junk elements simply absent), so the
+    extraction semantics are pinned independently of any regex engine.
+    Rebuilt text compared by md5."""
+    from webalizer_spark.operators.quality import html_to_text
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    w = (did % 3 + 5).cast("int")
+    np_ = F.floor((F.size(toks) + w - 1) / w).cast("int")
+
+    def para(j):
+        body = F.concat_ws(" ", F.slice(toks, (j - 1) * w + 1, w))
+        body = F.concat(body,
+                        F.when((did + j) % 4 == 0,
+                               F.lit(" AT&amp;T")).otherwise(""))
+        body = (F.when(j % 2 == 0,
+                       F.concat(F.lit("<b>"), body, F.lit("</b>")))
+                .otherwise(body))
+        return F.concat(
+            F.when((did + j) % 7 == 0,
+                   F.lit("<!-- nav\nboilerplate -->")).otherwise(""),
+            F.lit("<p>"), body, F.lit("</p>"),
+            F.when((did * 7 + j) % 5 == 0,
+                   F.lit("<script type=\"text/javascript\">var x = "
+                         "'<p>not text</p>';</script>")).otherwise(""))
+
+    html = F.concat(
+        F.lit("<html><head><title>Page "), (did % 10).cast("string"),
+        F.lit("</title><style>p { color: red; }</style></head><body>"),
+        F.array_join(F.transform(F.sequence(F.lit(1), np_), para), ""),
+        F.lit("</body></html>"))
+    txt = html_to_text(html)
+    n_lines = F.when(txt == "", F.lit(0)) \
+        .otherwise(F.size(F.split(txt, "\n"))).cast("bigint")
+    return docs.select("doc_id",
+                       F.md5(txt).alias("text_md5"),
+                       n_lines.alias("n_lines"))
 
 
 @qu("doc_pii_stats", """
