@@ -851,3 +851,23 @@ def test_html_to_text_rules(spark):
            df.select("i", html_to_text(F.col("html")).alias("t")).collect()}
     for i, (h, want) in enumerate(cases):
         assert got[i] == want, (h, got[i], want)
+
+
+def test_dedup_lines_semantics(spark):
+    """dedup_lines: first occurrence survives, later repeats drop,
+    counts consistent with the rebuilt text (regression for the Spark
+    lateral-column-alias pitfall where sizes silently recomputed over
+    the REBUILT text when the output alias shadowed the input column),
+    NULL text behaves as empty."""
+    from webalizer_spark.operators.quality import dedup_lines
+
+    rows = [(1, "a b\nc d\na b\ne f\nc d"),
+            (2, "only one line"),
+            (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert got[1]["text"] == "a b\nc d\ne f"
+    assert (got[1]["n_kept"], got[1]["n_dropped"]) == (3, 2)
+    assert got[2]["text"] == "only one line"
+    assert (got[2]["n_kept"], got[2]["n_dropped"]) == (1, 0)
+    assert got[3]["text"] == "" and got[3]["n_kept"] == 1

@@ -1218,3 +1218,29 @@ def html_to_text(html: Column) -> Column:
     lines = F.transform(F.split(t, "\n"),
                         lambda ln: F.trim(F.regexp_replace(ln, r"\s+", " ")))
     return F.array_join(F.filter(lines, lambda ln: ln != ""), "\n")
+
+
+def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """WITHIN-document line dedup (the Dolma/ccnet paragraph rule's
+    in-doc form): each line keeps only its FIRST occurrence inside the
+    document; later repeats drop (navigation chrome, repeated footers,
+    chat-log echo). Pure per-row HOFs — the line array never leaves
+    its row, zero shuffle, zero Exchange. Returns the rebuilt text
+    plus kept/dropped counts; NULL text behaves as empty."""
+    # two-step projection: the output column reuses the INPUT's name,
+    # and Spark 4's lateral column alias resolution would rebind any
+    # later same-select reference to text_col against the NEW alias
+    # (silently recomputing sizes over the rebuilt text — caught by
+    # the oracle). All expressions below reference _lines instead.
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        .alias("_lines"))
+    la = F.col("_lines")
+    kept = F.filter(la, lambda ln, i: F.array_position(la, ln) == i + 1)
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size(la) - F.size(kept)).cast("bigint").alias("n_dropped"))

@@ -1991,6 +1991,69 @@ def doc_corpus_diff(spark, sf):
     return corpus_diff(docs, new)
 
 
+@qu("doc_line_dedup", """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+         CAST(doc_id % 3 + 4 AS INTEGER) AS w
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, CAST(floor((len(toks) + w - 1) / w) AS INTEGER) + 1),
+           j -> array_to_string(list_slice(toks, (j - 1) * w + 1, j * w),
+                                ' ')) AS c
+  FROM t
+), synth AS (
+  -- every 3rd line is REPLACED by a copy of line 1: planted in-doc dups
+  SELECT doc_id,
+         list_transform(range(1, len(c) + 1),
+                        j -> CASE WHEN j % 3 = 0 THEN c[1]
+                                  ELSE c[j] END) AS lines
+  FROM chunks
+), kept AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(range(1, len(lines) + 1),
+                          i -> CASE WHEN list_position(lines, lines[i]) = i
+                                    THEN lines[i] END),
+           x -> x IS NOT NULL) AS k,
+         len(lines) AS n_all
+  FROM synth
+)
+SELECT doc_id, md5(array_to_string(k, chr(10))) AS text_md5,
+       CAST(len(k) AS BIGINT) AS n_kept,
+       CAST(n_all - len(k) AS BIGINT) AS n_dropped
+FROM kept
+""")
+def doc_line_dedup(spark, sf):
+    """Within-document line dedup (ungraded oracle): multi-line docs
+    are SYNTHESIZED from `documents` (4..6-token chunks, every 3rd
+    line replaced by a copy of line 1 — planted in-doc repeats), then
+    quality.dedup_lines keeps each line's first occurrence via a pure
+    per-row HOF (zero Exchange) while DuckDB re-derives the synthesis
+    AND the first-occurrence filter with list_position. Rebuilt text
+    compared by md5."""
+    from webalizer_spark.operators.quality import dedup_lines
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    w = (did % 3 + 4).cast("int")
+    nl = F.floor((F.size(toks) + w - 1) / w).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda j: F.concat_ws(" ", F.slice(toks, (j - 1) * w + 1, w)))
+    lines = F.transform(
+        F.sequence(F.lit(1), F.size(chunks)),
+        lambda j: F.when(j % 3 == 0,
+                         F.element_at(chunks, 1))
+        .otherwise(F.element_at(chunks, j)))
+    synth = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = dedup_lines(synth)
+    return out.select("doc_id", F.md5("text").alias("text_md5"),
+                      "n_kept", "n_dropped")
+
+
 @qu("doc_html_text", """
 WITH t AS (
   SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
