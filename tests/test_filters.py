@@ -148,3 +148,61 @@ def test_enrich_ip_class_edge_configs(spark):
         return plan.count("split(actor")
 
     assert nsplit(2) == nsplit(16)
+
+
+def test_parse_robots_grouping_and_rules(spark):
+    """REP spec parse: stacked User-agent lines share following rules,
+    a User-agent after a rule starts a NEW group, rules before any
+    User-agent drop, comments strip, empty Disallow drops, agents
+    fold to lowercase."""
+    from webalizer_spark.operators.enrich import parse_robots
+
+    txt = "\n".join([
+        "Disallow: /orphan",                  # before any UA: ignored
+        "User-agent: GoogleBot",              # stacked with next line
+        "User-Agent: mybot",
+        "Disallow: /private   # comment",
+        "Allow: /private/ok",
+        "Disallow:",                          # empty -> no rule
+        "User-agent: *",                      # NEW group (after rules)
+        "Disallow: /tmp",
+        "# full comment line",
+    ])
+    robots = spark.createDataFrame([("h1", txt)], "host string, text string")
+    got = {(r["agent"], r["allow"], r["prefix"])
+           for r in parse_robots(robots).collect()}
+    assert got == {
+        ("googlebot", False, "/private"), ("googlebot", True, "/private/ok"),
+        ("mybot", False, "/private"), ("mybot", True, "/private/ok"),
+        ("*", False, "/tmp"),
+    }
+
+
+def test_robots_filter_precedence(spark):
+    """Longest prefix wins; Allow beats Disallow on equal length;
+    specific-agent group REPLACES '*' when present; no rules or no
+    match -> allowed; URLs on rule-less hosts survive."""
+    from webalizer_spark.operators.enrich import parse_robots, robots_filter
+
+    robots = spark.createDataFrame([
+        ("h1", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+               "User-agent: mybot\nDisallow: /only-mybot"),
+        ("h2", "User-agent: *\nDisallow: /\nAllow: /"),   # tie: allow wins
+    ], "host string, text string")
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame([
+        (1, "h1", "/private/x"),      # * group: disallow
+        (2, "h1", "/private/ok/y"),   # * group: longer allow wins
+        (3, "h1", "/public"),         # no match -> allowed
+        (4, "h2", "/anything"),       # equal-length tie -> allow
+        (5, "h3", "/no-robots"),      # host without rules -> allowed
+        (6, "h1", "/only-mybot"),     # * group ignores mybot's rule
+    ], "url_id bigint, host string, path string")
+    star = {r["url_id"]: r["allowed"]
+            for r in robots_filter(urls, rules, "*").collect()}
+    assert star == {1: False, 2: True, 3: True, 4: True, 5: True, 6: True}
+    # mybot on h1: its own group replaces '*' entirely
+    mine = {r["url_id"]: r["allowed"]
+            for r in robots_filter(urls, rules, "MyBot").collect()}
+    assert mine[6] is False and mine[1] is True  # /private not in mybot grp
+    assert mine[4] is True                       # h2 has no mybot -> '*'

@@ -175,3 +175,91 @@ def enrich_ip_class(df: DataFrame, blocks: list[tuple[str, str]],
     return (df.withColumn("_ip_v", ip_aton(F.col(ip_col)))
             .withColumn(out_col, F.coalesce(best["c"], F.lit(default)))
             .drop("_ip_v"))
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 text_col: str = "text") -> DataFrame:
+    """Parse robots.txt bodies into (host, agent, allow, prefix) rules
+    under the REP spec's grouping: consecutive User-agent lines STACK
+    into one group and every following Allow/Disallow rule belongs to
+    ALL of them (the classic parser gotcha); a new User-agent after a
+    rule line starts a fresh group; rules before any User-agent are
+    ignored; '#' comments strip; empty-path rules drop (an empty
+    Disallow means "allow everything" — no rule). Agents fold to
+    lowercase (the spec says the product token is case-insensitive).
+
+    Scale note: robots tables are config-sized (one row per host), so
+    per-host windows here are bounded by lines-per-file; the URL-side
+    matching in robots_filter is the scale-critical path."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("i", "raw"))
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    kind = (F.when(clean.rlike(r"(?i)^user-agent\s*:"), "ua")
+            .when(clean.rlike(r"(?i)^allow\s*:"), "allow")
+            .when(clean.rlike(r"(?i)^disallow\s*:"), "disallow"))
+    value = F.trim(F.regexp_replace(clean, r"(?i)^[a-z-]+\s*:", ""))
+    typed = (lines.select("host", "i", kind.alias("kind"),
+                          value.alias("value"))
+             .where(F.col("kind").isNotNull()))
+    w = Window.partitionBy("host").orderBy("i")
+    is_ua = (F.col("kind") == "ua").cast("int")
+    block_start = ((F.col("kind") == "ua")
+                   & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)) \
+        .cast("int")
+    grouped = typed.withColumn("grp", F.sum(block_start).over(w))
+    agents = (grouped.where((F.col("kind") == "ua") & (F.col("value") != ""))
+              .select("host", "grp", F.lower("value").alias("agent")))
+    rules = (grouped.where((F.col("kind") != "ua")
+                           & (F.col("value") != "")
+                           & (F.col("grp") > 0))
+             .select("host", "grp",
+                     (F.col("kind") == "allow").alias("allow"),
+                     F.col("value").alias("prefix")))
+    return (rules.join(agents, ["host", "grp"])
+            .select("host", "agent", "allow", "prefix"))
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame, agent: str = "*",
+                  id_col: str = "url_id", host_col: str = "host",
+                  path_col: str = "path") -> DataFrame:
+    """Apply parsed robots rules to a URL table: per the REP spec, the
+    applicable group is the SPECIFIC agent's rules when the host has
+    any, else the '*' rules; among matching path prefixes the LONGEST
+    wins, Allow beating Disallow on equal length; no matching rule
+    (or no robots at all) means allowed.
+
+    Scale shape: per-host rule selection happens on the RULE table
+    (config-sized: one aggregate + join back); the corpus-sized work
+    is one urls-to-rules join on host (AQE broadcasts the rule table
+    when it fits) and ONE max_by aggregate per URL over a
+    (prefix-length, allow) struct — no window over the corpus."""
+    a = agent.lower()
+    cand = rules.where(F.col("agent").isin(a, "*"))
+    has_spec = (cand.groupBy("host")
+                .agg(F.max((F.col("agent") == a).cast("int"))
+                     .alias("_has_spec")))
+    sel = (cand.join(has_spec, "host")
+           .where((F.col("agent") == a)
+                  | ((F.col("agent") == "*") & (F.col("_has_spec") == 0)))
+           .select("host", "allow", "prefix"))
+    # a rule row only "matches" when its prefix starts the path; rows
+    # that don't match become NULL structs so max() skips them and a
+    # URL with rules-but-no-match (or no rules at all) still survives
+    # the groupBy with a NULL verdict -> allowed
+    m = F.when(
+        F.col("prefix").isNotNull()
+        & F.col(path_col).startswith(F.col("prefix")),
+        F.struct(F.length("prefix").alias("l"), F.col("allow").alias("a")))
+    per_url = (urls.join(sel, "host", "left")
+               .withColumn("_m", m)
+               .groupBy(id_col)
+               .agg(F.first(host_col).alias(host_col),
+                    F.first(path_col).alias(path_col),
+                    F.max("_m").alias("_best")))
+    return per_url.select(
+        id_col, host_col, path_col,
+        F.coalesce(F.col("_best.a"), F.lit(True)).alias("allowed"))

@@ -2627,6 +2627,88 @@ def evt_profile(spark, sf):
     return profile_table(_t(spark, sf, "events"))
 
 
+@qu("evt_robots", """
+WITH hosts AS (
+  SELECT DISTINCT user_id % 20 AS h FROM events
+), rules AS (
+  SELECT 'site' || h AS host, '*' AS agent, FALSE AS allow,
+         '/private' AS prefix FROM hosts
+  UNION ALL SELECT 'site' || h, '*', TRUE, '/private/ok' FROM hosts
+  UNION ALL SELECT 'site' || h, 'mybot', FALSE, '/p' FROM hosts
+  WHERE h % 3 = 0
+  UNION ALL SELECT 'site' || h, 'crawler', FALSE, '/q/deep' FROM hosts
+  WHERE h % 4 = 0
+  UNION ALL SELECT 'site' || h, 'mybot', FALSE, '/q/deep' FROM hosts
+  WHERE h % 4 = 0
+), urls AS (
+  SELECT event_id AS url_id, 'site' || (user_id % 20) AS host,
+         CASE event_id % 6
+           WHEN 0 THEN '/private/x' || (event_id % 5)
+           WHEN 1 THEN '/private/ok/' || (event_id % 5)
+           WHEN 2 THEN '/p/' || (event_id % 9)
+           WHEN 3 THEN '/q/deep/' || (event_id % 7)
+           WHEN 4 THEN '/public/' || (event_id % 11)
+           ELSE '/q' END AS path
+  FROM events
+), spec AS (
+  SELECT host, MAX(CASE WHEN agent = 'mybot' THEN 1 ELSE 0 END)
+           AS has_spec
+  FROM rules GROUP BY host
+), sel AS (
+  SELECT r.host, r.allow, r.prefix
+  FROM rules r JOIN spec s ON r.host = s.host
+  WHERE r.agent = 'mybot' OR (r.agent = '*' AND s.has_spec = 0)
+), best AS (
+  SELECT u.url_id, u.host, u.path, s.allow,
+         row_number() OVER (
+           PARTITION BY u.url_id
+           ORDER BY len(s.prefix) DESC NULLS LAST, s.allow DESC) AS rn
+  FROM urls u
+  LEFT JOIN sel s ON u.host = s.host AND starts_with(u.path, s.prefix)
+)
+SELECT url_id, host, path, COALESCE(allow, TRUE) AS allowed
+FROM best WHERE rn = 1
+""")
+def evt_robots(spark, sf):
+    """robots.txt filtering (ungraded oracle): per-host robots bodies
+    are SYNTHESIZED (a '*' group with a Disallow + longer Allow on
+    every host, a specific mybot group on every 3rd host, a STACKED
+    crawler+mybot group on every 4th — so h%12 hosts carry two mybot
+    groups that must merge), URLs from events hit every precedence
+    branch, then enrich.parse_robots + robots_filter('mybot') run
+    end-to-end while DuckDB derives the rule table DIRECTLY from the
+    synthesis schedule (never parsing text) and re-applies the REP
+    precedence with a window — longest prefix, allow on ties,
+    specific-group replacement, allowed-by-default."""
+    from webalizer_spark.operators.enrich import parse_robots, robots_filter
+
+    ev = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    eid, uid = F.col("event_id"), F.col("user_id")
+    h = (uid % 20).alias("h")
+    hosts = ev.select(h).distinct()
+    hc = F.col("h")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nAllow: /private/ok"),
+        F.when(hc % 3 == 0,
+               F.lit("\nUser-agent: mybot\nDisallow: /p")).otherwise(""),
+        F.when(hc % 4 == 0,
+               F.lit("\nUser-agent: crawler\nUser-agent: mybot\n"
+                     "Disallow: /q/deep")).otherwise(""))
+    robots = hosts.select(F.concat(F.lit("site"), s(hc)).alias("host"),
+                          txt.alias("text"))
+    path = (F.when(eid % 6 == 0, F.concat(F.lit("/private/x"), s(eid % 5)))
+            .when(eid % 6 == 1, F.concat(F.lit("/private/ok/"), s(eid % 5)))
+            .when(eid % 6 == 2, F.concat(F.lit("/p/"), s(eid % 9)))
+            .when(eid % 6 == 3, F.concat(F.lit("/q/deep/"), s(eid % 7)))
+            .when(eid % 6 == 4, F.concat(F.lit("/public/"), s(eid % 11)))
+            .otherwise(F.lit("/q")))
+    urls = ev.select(eid.alias("url_id"),
+                     F.concat(F.lit("site"), s(uid % 20)).alias("host"),
+                     path.alias("path"))
+    return robots_filter(urls, parse_robots(robots), "mybot")
+
+
 @qu("evt_ip_class", """
 WITH ips AS (
   SELECT ('10.' || (user_id % 200) || '.' || (user_id % 250)
