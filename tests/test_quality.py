@@ -871,3 +871,20 @@ def test_dedup_lines_semantics(spark):
     assert got[2]["text"] == "only one line"
     assert (got[2]["n_kept"], got[2]["n_dropped"]) == (1, 0)
     assert got[3]["text"] == "" and got[3]["n_kept"] == 1
+
+
+def test_char_entropy_known_values(spark):
+    """char_entropy vs hand math: uniform 2-char doc = 1 bit, constant
+    doc = 0, empty and NULL = 0, 4 equiprobable chars = 2 bits."""
+    import pytest
+
+    from webalizer_spark.operators.quality import char_entropy
+
+    rows = [(1, "abab"), (2, "aaaa"), (3, ""), (4, None), (5, "abcd")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert got[1]["entropy_bits"] == pytest.approx(1.0)
+    assert got[2]["entropy_bits"] == 0.0
+    assert got[3]["entropy_bits"] == 0.0 and got[3]["n_chars_txt"] == 0
+    assert got[4]["entropy_bits"] == 0.0
+    assert got[5]["entropy_bits"] == pytest.approx(2.0)

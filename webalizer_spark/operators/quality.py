@@ -1244,3 +1244,39 @@ def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
         F.array_join(kept, "\n").alias(text_col),
         F.size(kept).cast("bigint").alias("n_kept"),
         (F.size(la) - F.size(kept)).cast("bigint").alias("n_dropped"))
+
+
+def char_entropy(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document Shannon character entropy in bits — the cheap
+    gibberish/repetition signal (natural text sits ~4 bits/char;
+    'aaaa...' is 0; uniform random base64 approaches 6): H = -sum
+    p_c * log2(p_c) over the document's character distribution.
+
+    Zero-shuffle per-row HOFs: characters enumerate via substring
+    (NOT split(col, ''), whose empty-tail behavior differs between
+    engines), counts come from filter-size over the SORTED distinct
+    set, and the fold runs in sorted char order so the floating sum
+    is identical in any engine that evaluates the same IEEE ops in
+    the same sequence. Rounded to 6dp; empty/NULL text scores 0."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(txt)
+    chars = F.transform(F.sequence(F.lit(1), n),
+                        lambda i: F.substring(txt, i, 1))
+    chars = F.when(n > 0, chars).otherwise(F.array().cast("array<string>"))
+    uniq = F.array_sort(F.array_distinct(chars))
+    # natural log + one shared literal divisor: log2() itself may be
+    # correctly-rounded in one engine and ln(x)/ln(2) in another — an
+    # ulp split the 6dp round could expose; ln agrees bit-for-bit
+    ln2 = 0.6931471805599453
+    nats = F.aggregate(
+        uniq, F.lit(0.0),
+        lambda acc, c: acc + (
+            lambda p: p * F.log(p))(
+                F.size(F.filter(chars, lambda x: x == c))
+                .cast("double") / n.cast("double")))
+    return docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars_txt"),
+        F.round(F.coalesce(F.when(n > 0, -nats / F.lit(ln2)),
+                           F.lit(0.0)), 6).alias("entropy_bits"))

@@ -1991,6 +1991,46 @@ def doc_corpus_diff(spark, sf):
     return corpus_diff(docs, new)
 
 
+@qu("doc_entropy", """
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents
+), c AS (
+  SELECT doc_id, len(txt) AS n,
+         list_transform(range(1, len(txt) + 1),
+                        i -> substr(txt, i, 1)) AS chars
+  FROM t
+), u AS (
+  SELECT doc_id, n, chars,
+         list_sort(list_distinct(chars)) AS uniq
+  FROM c
+), terms AS (
+  SELECT doc_id, n,
+         list_transform(uniq, ch ->
+           (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n)
+           * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / n))
+           AS tl
+  FROM u
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_txt,
+       ROUND(CASE WHEN n = 0 THEN 0.0
+             ELSE -list_reduce(list_prepend(0.0, tl), (a, b) -> a + b)
+                  / 0.6931471805599453 END, 6) AS entropy_bits
+FROM terms
+""")
+def doc_entropy(spark, sf):
+    """Character-entropy quality signal (ungraded oracle): Shannon
+    entropy in bits per doc via zero-shuffle HOFs — characters via
+    substring enumeration (split-on-empty differs between engines),
+    counts by filter-size over the SORTED distinct set, sequential
+    fold in sorted order so the float sum sequence is identical, ln +
+    one shared literal ln(2) divisor (log2 itself could split an ulp
+    between libm implementations). DuckDB re-derives with
+    list_transform/list_reduce — same fold order, bit-exact."""
+    from webalizer_spark.operators.quality import char_entropy
+
+    return char_entropy(_t(spark, sf, "documents"))
+
+
 @qu("doc_line_dedup", """
 WITH t AS (
   SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
