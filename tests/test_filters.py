@@ -177,6 +177,17 @@ def test_parse_robots_grouping_and_rules(spark):
         ("*", False, "/tmp"),
     }
 
+    # a group whose ONLY directive is an empty Disallow still EXISTS:
+    # it emits a marker row (allow/prefix NULL) so robots_filter sees
+    # the specific group and does NOT fall back to '*'
+    robots2 = spark.createDataFrame(
+        [("h2", "User-agent: mybot\nDisallow:\nUser-agent: *\n"
+                "Disallow: /")],
+        "host string, text string")
+    rows2 = parse_robots(robots2).collect()
+    marker = [r for r in rows2 if r["agent"] == "mybot"]
+    assert len(marker) == 1 and marker[0]["prefix"] is None
+
 
 def test_robots_filter_precedence(spark):
     """Longest prefix wins; Allow beats Disallow on equal length;
@@ -206,3 +217,16 @@ def test_robots_filter_precedence(spark):
             for r in robots_filter(urls, rules, "MyBot").collect()}
     assert mine[6] is False and mine[1] is True  # /private not in mybot grp
     assert mine[4] is True                       # h2 has no mybot -> '*'
+
+    # empty-Disallow specific group REPLACES '*': everything allowed
+    # for mybot even though '*' disallows the whole site (REP bug the
+    # round-6 review caught: the group used to vanish entirely)
+    robots3 = spark.createDataFrame(
+        [("h9", "User-agent: mybot\nDisallow:\nUser-agent: *\n"
+                "Disallow: /")],
+        "host string, text string")
+    urls3 = spark.createDataFrame([(1, "h9", "/anything")],
+                                  "url_id bigint, host string, path string")
+    r3 = parse_robots(robots3)
+    assert robots_filter(urls3, r3, "mybot").collect()[0]["allowed"] is True
+    assert robots_filter(urls3, r3, "other").collect()[0]["allowed"] is False

@@ -888,3 +888,46 @@ def test_char_entropy_known_values(spark):
     assert got[3]["entropy_bits"] == 0.0 and got[3]["n_chars_txt"] == 0
     assert got[4]["entropy_bits"] == 0.0
     assert got[5]["entropy_bits"] == pytest.approx(2.0)
+
+
+def test_c4_whitespace_word_rule(spark):
+    """Review regression: runs of spaces are ONE separator and tabs
+    split — 'one  two  three.' is 3 words (drops at min_words=5), a
+    tab-separated 5-worder keeps."""
+    from webalizer_spark.operators.quality import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [(1, "one  two  three.\na\tb\tc\td\te.\n"
+             "regular five word line here.")],
+        "doc_id bigint, text string")
+    out = c4_line_filter(docs, min_words=5, min_lines=1).collect()
+    assert out[0]["text"] == ("a\tb\tc\td\te.\n"
+                              "regular five word line here.")
+    assert (out[0]["n_kept"], out[0]["n_dropped"]) == (2, 1)
+
+
+def test_keep_best_string_ids(spark):
+    """Review regression: the keeper tie-break must not do arithmetic
+    on the id — string ids work, highest score wins, tie -> min id."""
+    from webalizer_spark.operators.dedup import drop_non_best_members
+
+    docs = spark.createDataFrame(
+        [("u-b", 5), ("u-a", 5), ("u-c", 9), ("solo", 1)],
+        "doc_id string, score bigint")
+    edges = spark.createDataFrame(
+        [("u-b", "u-a"), ("u-a", "u-c")], "doc_a string, doc_b string")
+    kept = sorted(r["doc_id"] for r in
+                  drop_non_best_members(docs, edges, "score").collect())
+    assert kept == ["solo", "u-c"]
+
+
+def test_profile_table_wide_double_render(spark):
+    """Review regression: epoch-millis-scale doubles (~1.7e12) must
+    render, not overflow the decimal cast."""
+    from webalizer_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame([(1, 1.7e12), (2, 2.5)],
+                               "id bigint, v double")
+    prof = {r["column_name"]: r for r in profile_table(df).collect()}
+    assert prof["v"]["max_val"] == "1700000000000.000000"
+    assert prof["v"]["min_val"] == "2.500000"

@@ -425,20 +425,24 @@ def drop_non_best_members(df: DataFrame, edges: DataFrame, score_col: str,
     drop_non_min_members when duplicates differ in completeness (keep
     the longest / best-scored copy, not the accidental min id).
 
-    keeper = max_by over a (score, -id) struct: lexicographic struct
-    comparison gives score-desc-then-id-asc in ONE aggregate, no
-    window. Members whose score is NULL can't win max_by; a component
-    with NO scored member falls back to its min-id label, so rows are
-    never dropped without a surviving keeper. Same smallness-gated
+    keeper = min id among the members tying the component's max score —
+    two aggregates over the (tiny) component table plus a join back, no
+    window, and NO arithmetic on the id (the tempting max_by(v,
+    struct(score, -v)) tie-break crashes on string ids under ANSI,
+    where drop_non_min_members handles them fine). eqNullSafe against
+    the max makes an all-NULL-score component keep its min id, so rows
+    are never dropped without a surviving keeper. Same smallness-gated
     broadcast on the final anti-join as drop_non_min_members."""
     comp = connected_min_label(edges)
     scored = comp.join(
         df.select(F.col(id_col).alias("v"), F.col(score_col).alias("_s")),
-        "v")
-    keep = scored.groupBy("label").agg(
-        F.expr("max_by(v, struct(_s, -v))").alias("keeper"))
+        "v").localCheckpoint(eager=False)
+    best = scored.groupBy("label").agg(F.max("_s").alias("_m"))
+    keep = (scored.join(best, "label")
+            .where(F.col("_s").eqNullSafe(F.col("_m")))
+            .groupBy("label").agg(F.min("v").alias("keeper")))
     drop = (scored.join(keep, "label")
-            .filter(F.col("v") != F.coalesce("keeper", "label"))
+            .filter(F.col("v") != F.col("keeper"))
             .select(F.col("v").alias(id_col)))
     if drop.limit(_BROADCAST_DROP_MAX + 1).count() <= _BROADCAST_DROP_MAX:
         drop = F.broadcast(drop)

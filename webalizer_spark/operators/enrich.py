@@ -219,7 +219,13 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
              .select("host", "grp",
                      (F.col("kind") == "allow").alias("allow"),
                      F.col("value").alias("prefix")))
-    return (rules.join(agents, ["host", "grp"])
+    # LEFT join from agents: a group whose only directive is an empty
+    # Disallow (allow-everything) must still EXIST — under REP a
+    # specific agent's empty group REPLACES '*', so dropping it would
+    # flip every verdict to the '*' rules. Such groups emit one marker
+    # row (allow/prefix NULL) that robots_filter counts for group
+    # presence but never matches against a path.
+    return (agents.join(rules, ["host", "grp"], "left")
             .select("host", "agent", "allow", "prefix"))
 
 

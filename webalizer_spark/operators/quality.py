@@ -512,19 +512,31 @@ def c4_line_filter(docs: DataFrame, min_words: int = 5,
     dedup operators exactly as the C4 pipeline orders them."""
     if min_words < 1 or min_lines < 1:
         raise ValueError("min_words and min_lines must be >= 1")
-    lines = F.split(F.col(text_col), "\n")
+    # two-step projection via _lines: the output alias reuses text_col
+    # and Spark 4 lateral alias resolution would otherwise leave later
+    # same-select size() expressions exposed to rebinding against the
+    # REBUILT text (the dedup_lines pitfall; here the keep rule is
+    # idempotent so it happened to not bite, but harden anyway)
+    base = docs.select(F.col(id_col),
+                       F.split(F.col(text_col), "\n").alias("_lines"))
+    lines = F.col("_lines")
 
     def keep(line: Column) -> Column:
         low = F.lower(line)
+        # whitespace words: runs of spaces/tabs are ONE separator and
+        # leading/trailing whitespace doesn't mint empty tokens (a
+        # single-space split counted 'one  two  three.' as 5 words)
+        words = F.filter(F.split(F.trim(line), r"\s+"),
+                         lambda t: t != "")
         cond = (line.rlike('[.!?"]$')
-                & (F.size(F.split(line, " ")) >= min_words)
+                & (F.size(words) >= min_words)
                 & ~low.contains("{"))
         for term in blocklist:
             cond = cond & ~low.contains(term.lower())
         return cond
 
     kept = F.filter(lines, keep)
-    return (docs.select(
+    return (base.select(
                 F.col(id_col),
                 F.array_join(kept, "\n").alias(text_col),
                 F.size(kept).alias("n_kept"),
@@ -566,8 +578,13 @@ def dsir_bucket_logratios(docs: DataFrame, target: DataFrame,
                     _feat_buckets(_toks_safe(tc), n_buckets)).alias("b"))
                 .groupBy("b").agg(F.count(F.lit(1)).alias(out)))
 
-    raw_cnt = counts(docs, text_col, "rc")
-    tgt_cnt = counts(target, target_text_col, "tc")
+    # materialize the (<= n_buckets)-row count tables ONCE: the scalar
+    # totals below and the broadcast joins both read them, and without
+    # the checkpoint each corpus aggregation would execute twice (once
+    # for .first(), again when the joined plan runs)
+    raw_cnt = counts(docs, text_col, "rc").localCheckpoint(eager=True)
+    tgt_cnt = counts(target, target_text_col, "tc") \
+        .localCheckpoint(eager=True)
     totals = (raw_cnt.agg(F.sum("rc")).first()[0] or 0,
               tgt_cnt.agg(F.sum("tc")).first()[0] or 0)
     denom_r = float(totals[0]) + alpha * n_buckets
@@ -1000,7 +1017,9 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     ingest runs over a new table: one row per column with row count,
     null count, distinct count and min/max rendered to strings under a
     deterministic cross-engine policy (floats round to 6dp and print
-    as DECIMAL(18,6) so two engines can't disagree on double repr;
+    as DECIMAL(30,6) so two engines can't disagree on double repr —
+    wide enough that routine large doubles like epoch millis
+    (~1.7e12) render instead of overflowing to NULL/ANSI error;
     timestamps and everything else CAST to string).
 
     Scale shape: ONE aggregate pass over the table computes every
@@ -1022,7 +1041,7 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
 
     def render(c: str, agg) -> Column:
         if dtypes[c] in ("double", "float"):
-            return F.round(agg(F.col(c)), 6).cast("decimal(18,6)") \
+            return F.round(agg(F.col(c)), 6).cast("decimal(30,6)") \
                     .cast("string")
         return agg(F.col(c)).cast("string")
 
@@ -1104,6 +1123,12 @@ def lm_perplexity_bigram(docs: DataFrame, lam: float = 0.8,
     if not 0.0 < lam < 1.0:
         raise ValueError("lam must be in (0, 1) — lam=1 drops the "
                          "unigram floor and unseen bigrams hit log(0)")
+    # coalesce NULL text ONCE so the unigram model and the pair stream
+    # tokenize identically (_toks drops NULL-text docs from training
+    # while _toks_safe scores them — a total/vocab split the DuckDB
+    # oracle's coalesce would expose on any corpus with NULL text)
+    docs = docs.withColumn(text_col,
+                           F.coalesce(F.col(text_col), F.lit("")))
     uni = unigram_logprobs(docs, text_col, alpha)
     vocab = uni.where(F.col("token").isNotNull()) \
         .agg(F.count(F.lit(1)).alias("_vocab"))
@@ -1264,17 +1289,36 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id",
     chars = F.transform(F.sequence(F.lit(1), n),
                         lambda i: F.substring(txt, i, 1))
     chars = F.when(n > 0, chars).otherwise(F.array().cast("array<string>"))
-    uniq = F.array_sort(F.array_distinct(chars))
     # natural log + one shared literal divisor: log2() itself may be
     # correctly-rounded in one engine and ln(x)/ln(2) in another — an
     # ulp split the 6dp round could expose; ln agrees bit-for-bit
     ln2 = 0.6931471805599453
-    nats = F.aggregate(
-        uniq, F.lit(0.0),
-        lambda acc, c: acc + (
-            lambda p: p * F.log(p))(
-                F.size(F.filter(chars, lambda x: x == c))
-                .cast("double") / n.cast("double")))
+
+    def term(run):
+        p = run.cast("double") / n.cast("double")
+        return p * F.log(p)
+
+    # counts via ONE run-length fold over the sorted chars (the
+    # filter-per-distinct-char formulation was O(len * distinct) per
+    # row); each run completes in sorted-char order, so the float-sum
+    # SEQUENCE is identical to folding the sorted distinct set — the
+    # DuckDB oracle is unchanged
+    folded = F.aggregate(
+        F.array_sort(chars),
+        F.named_struct(F.lit("prev"), F.lit(None).cast("string"),
+                       F.lit("run"), F.lit(0),
+                       F.lit("nats"), F.lit(0.0)),
+        lambda acc, c: F.named_struct(
+            F.lit("prev"), c,
+            F.lit("run"),
+            F.when(acc["prev"].eqNullSafe(c), acc["run"] + 1).otherwise(1),
+            F.lit("nats"),
+            F.when(acc["prev"].eqNullSafe(c) | acc["prev"].isNull(),
+                   acc["nats"]).otherwise(acc["nats"] + term(acc["run"]))),
+        lambda acc: F.when(acc["run"] > 0,
+                           acc["nats"] + term(acc["run"]))
+        .otherwise(acc["nats"]))
+    nats = folded
     return docs.select(
         F.col(id_col),
         n.cast("bigint").alias("n_chars_txt"),

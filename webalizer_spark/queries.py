@@ -2272,8 +2272,15 @@ WITH t AS (
   SELECT doc_id,
          array_to_string(list_transform(
            range(1, CAST(floor((len(toks) + w - 1) / w) AS INTEGER) + 1),
-           j -> array_to_string(list_slice(toks, (j - 1) * w + 1, j * w),
-                                ' ')
+           j -> CASE WHEN (doc_id + j) % 9 = 0 AND w > 1
+                     -- coalesce: DuckDB array_to_string(empty) is
+                     -- NULL where Spark concat_ws gives ''
+                     THEN toks[(j - 1) * w + 1] || '  '
+                          || coalesce(array_to_string(list_slice(
+                               toks, (j - 1) * w + 2, j * w), ' '), '')
+                     ELSE array_to_string(
+                            list_slice(toks, (j - 1) * w + 1, j * w), ' ')
+                END
                 || CASE WHEN (doc_id * 3 + j) % 13 = 0
                         THEN ' cookie' ELSE '' END
                 || CASE (doc_id + j) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
@@ -2284,7 +2291,8 @@ WITH t AS (
   SELECT doc_id,
          list_filter(string_split(text, chr(10)), x ->
              regexp_matches(x, '[.!?"]$')
-             AND len(string_split(x, ' ')) >= 5
+             AND len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+                                 t2 -> t2 <> '')) >= 5
              AND NOT contains(lower(x), '{')
              AND NOT contains(lower(x), 'javascript')
              AND NOT contains(lower(x), 'lorem ipsum')
@@ -2315,7 +2323,15 @@ def doc_c4_lines(spark, sf):
     nl = F.floor((F.size(toks) + w - 1) / w).cast("int")
 
     def mk(j):
-        base = F.concat_ws(" ", F.slice(toks, (j - 1) * w + 1, w))
+        plain = F.concat_ws(" ", F.slice(toks, (j - 1) * w + 1, w))
+        # double-space injection every 9th line: a single-space word
+        # split would count one extra (empty) word and keep lines the
+        # whitespace-word rule must drop — grades the \\s+ semantics
+        dbl = F.concat(F.element_at(toks, (j - 1) * w + 1), F.lit("  "),
+                       F.concat_ws(" ",
+                                   F.slice(toks, (j - 1) * w + 2, w - 1)))
+        base = F.when(((F.col("doc_id") + j) % 9 == 0) & (w > 1),
+                      dbl).otherwise(plain)
         blocked = F.when((F.col("doc_id") * 3 + j) % 13 == 0,
                          F.lit(" cookie")).otherwise("")
         m = (F.col("doc_id") + j) % 4
@@ -2649,15 +2665,15 @@ FROM events"""
 @qu("evt_profile", " UNION ALL ".join(
     _PROFILE_COL.format(
         c=c,
-        mn=(f"CAST(ROUND(MIN({c}), 6) AS DECIMAL(18,6))"
+        mn=(f"CAST(ROUND(MIN({c}), 6) AS DECIMAL(30,6))"
             if c == "value" else f"MIN({c})"),
-        mx=(f"CAST(ROUND(MAX({c}), 6) AS DECIMAL(18,6))"
+        mx=(f"CAST(ROUND(MAX({c}), 6) AS DECIMAL(30,6))"
             if c == "value" else f"MAX({c})"))
     for c in ("event_id", "ts", "user_id", "event_type", "value", "props")))
 def evt_profile(spark, sf):
     """Table profiling (ungraded oracle): quality.profile_table over
     every events column — row/null/exact-distinct counts plus min/max
-    under the deterministic render policy (doubles as DECIMAL(18,6),
+    under the deterministic render policy (doubles as DECIMAL(30,6),
     everything else CAST to string — timestamps print microseconds
     identically in both engines). The oracle recomputes each column as
     its own full-scan aggregate; the engine does ALL columns in ONE
@@ -2680,6 +2696,11 @@ WITH hosts AS (
   WHERE h % 4 = 0
   UNION ALL SELECT 'site' || h, 'mybot', FALSE, '/q/deep' FROM hosts
   WHERE h % 4 = 0
+  -- empty-Disallow mybot group: EXISTS (so it replaces '*') but has
+  -- no path rules -> marker row, everything allowed on these hosts
+  UNION ALL SELECT 'site' || h, 'mybot', CAST(NULL AS BOOLEAN),
+                   CAST(NULL AS VARCHAR) FROM hosts
+  WHERE h % 5 = 1
 ), urls AS (
   SELECT event_id AS url_id, 'site' || (user_id % 20) AS host,
          CASE event_id % 6
@@ -2714,7 +2735,9 @@ def evt_robots(spark, sf):
     are SYNTHESIZED (a '*' group with a Disallow + longer Allow on
     every host, a specific mybot group on every 3rd host, a STACKED
     crawler+mybot group on every 4th — so h%12 hosts carry two mybot
-    groups that must merge), URLs from events hit every precedence
+    groups that must merge — and an EMPTY-Disallow mybot group on
+    every h%5==1 host, which must replace '*' while allowing
+    everything), URLs from events hit every precedence
     branch, then enrich.parse_robots + robots_filter('mybot') run
     end-to-end while DuckDB derives the rule table DIRECTLY from the
     synthesis schedule (never parsing text) and re-applies the REP
@@ -2734,7 +2757,9 @@ def evt_robots(spark, sf):
                F.lit("\nUser-agent: mybot\nDisallow: /p")).otherwise(""),
         F.when(hc % 4 == 0,
                F.lit("\nUser-agent: crawler\nUser-agent: mybot\n"
-                     "Disallow: /q/deep")).otherwise(""))
+                     "Disallow: /q/deep")).otherwise(""),
+        F.when(hc % 5 == 1,
+               F.lit("\nUser-agent: mybot\nDisallow:")).otherwise(""))
     robots = hosts.select(F.concat(F.lit("site"), s(hc)).alias("host"),
                           txt.alias("text"))
     path = (F.when(eid % 6 == 0, F.concat(F.lit("/private/x"), s(eid % 5)))
