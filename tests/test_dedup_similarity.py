@@ -448,3 +448,35 @@ def test_drop_non_best_members_keeper_semantics(spark):
     kept = sorted(r["doc_id"] for r in
                   drop_non_best_members(docs, edges, "score").collect())
     assert kept == [2, 5, 6, 9]
+
+
+def test_remove_seen_cross_corpus(spark):
+    """Cross-corpus dedup: exact and lightly-edited reference copies
+    remove their corpus twins; heavily-padded ref copies are LSH
+    candidates the Jaccard verify must REJECT; unrelated corpus docs
+    survive; corpus-internal duplicates are NOT removed (only
+    cross-side pairs count)."""
+    from webalizer_spark.operators.dedup import remove_seen
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base),                     # in-corpus dup pair
+         (3, "completely different text with its own tokens here now"),
+         (4, base + " extra")],
+        "doc_id bigint, text string")
+    ref = spark.createDataFrame(
+        [(10, base),                               # exact -> removes 1,2
+         (11, "completely different text with its own tokens here now "
+              "j1 j2 j3 j4 j5 j6 j7 j8 j9 j10 j11 j12 j13 j14 j15")],
+        "doc_id bigint, text string")              # padded -> keeps 3
+    kept = sorted(r["doc_id"] for r in
+                  remove_seen(corpus, ref, threshold=0.9).collect())
+    # 1, 2 and 4 are all >= 0.9 vs ref 10; 3 survives the padded ref
+    assert kept == [3]
+
+    # with no reference, nothing is "seen"
+    empty_ref = spark.createDataFrame([], "doc_id bigint, text string")
+    kept2 = sorted(r["doc_id"] for r in
+                   remove_seen(corpus, empty_ref).collect())
+    assert kept2 == [1, 2, 3, 4]

@@ -464,3 +464,54 @@ def near_dup_remove_best(df: DataFrame, score_col: str,
     dup = jaccard_pairs(sh, threshold, id_col, candidates=cand)
     return drop_non_best_members(df, dup.select("doc_a", "doc_b"),
                                  score_col, id_col)
+
+
+def cross_near_dup_pairs(corpus: DataFrame, reference: DataFrame,
+                         content_col: str = "text",
+                         id_col: str = "doc_id", threshold: float = 0.9,
+                         num_hashes: int = 8, rows_per_band: int = 2,
+                         max_bucket_size: int | None = None) -> DataFrame:
+    """Near-dup pairs BETWEEN two corpora (corpus doc ~ reference doc):
+    the cross-corpus form of the MinHash->LSH->Jaccard pipeline, used
+    to dedup a new crawl against an existing training set. Both sides
+    union under side-tagged string ids ('c:<id>' / 'r:<id>'); band
+    buckets come from ONE signature pass over the union and only
+    CROSS-side candidates are verified ('c:' < 'r:' lexicographically,
+    so the ordered candidate join already yields (corpus, reference)
+    pairs — same-side pairs are filtered before any Jaccard work).
+    Returns (doc_a = corpus id string-form, doc_b = reference id
+    string-form, jaccard)."""
+    cid = F.concat(F.lit("c:"), F.col(id_col).cast("string"))
+    rid = F.concat(F.lit("r:"), F.col(id_col).cast("string"))
+    u = (corpus.select(cid.alias("_uid"), F.col(content_col).alias("_txt"))
+         .unionByName(reference.select(rid.alias("_uid"),
+                                       F.col(content_col).alias("_txt"))))
+    sh = shingles(u, "_txt", 1, "_uid")
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes, "_uid"), rows_per_band, "_uid",
+        max_bucket_size=max_bucket_size)
+    cross = cand.where(F.col("doc_a").startswith("c:")
+                       & F.col("doc_b").startswith("r:"))
+    return jaccard_pairs(sh, threshold, "_uid", candidates=cross)
+
+
+def remove_seen(corpus: DataFrame, reference: DataFrame,
+                content_col: str = "text", id_col: str = "doc_id",
+                threshold: float = 0.9, num_hashes: int = 8,
+                rows_per_band: int = 2,
+                max_bucket_size: int | None = None) -> DataFrame:
+    """Drop every corpus document near-duplicate to ANY reference
+    document — decontaminate a new crawl against the previous training
+    set (the cross-corpus sibling of near_dup_remove; no components
+    needed, membership in one verified cross pair is enough). The seen
+    set carries string-form ids only and rides the same smallness-
+    gated broadcast anti-join as the other dedup tails."""
+    dup = cross_near_dup_pairs(corpus, reference, content_col, id_col,
+                               threshold, num_hashes, rows_per_band,
+                               max_bucket_size)
+    seen = (dup.select(F.expr("substring(doc_a, 3)").alias("_sid"))
+            .distinct())
+    if seen.limit(_BROADCAST_DROP_MAX + 1).count() <= _BROADCAST_DROP_MAX:
+        seen = F.broadcast(seen)
+    return corpus.join(
+        seen, F.col(id_col).cast("string") == F.col("_sid"), "left_anti")

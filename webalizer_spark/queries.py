@@ -1991,6 +1991,79 @@ def doc_corpus_diff(spark, sf):
     return corpus_diff(docs, new)
 
 
+@qu("doc_remove_seen", """
+WITH u AS (
+  SELECT 'c:' || doc_id AS uid, text FROM documents
+  UNION ALL
+  SELECT 'r:' || doc_id AS uid,
+         text || CASE WHEN doc_id % 8 = 0 THEN ' refextra'
+                      WHEN doc_id % 8 = 4
+                        THEN ' jx1 jx2 jx3 jx4 jx5 jx6 jx7 jx8 jx9 jx10'
+                             || ' jx11 jx12 jx13 jx14 jx15'
+                      ELSE '' END
+  FROM documents WHERE doc_id % 4 = 0
+), toks AS (
+  SELECT DISTINCT uid, tok FROM (
+    SELECT uid, unnest(string_split(text, ' ')) AS tok FROM u)
+), seeds AS (SELECT unnest(range(8)) AS seed),
+sig AS (
+  SELECT uid, CAST(seed AS INT) AS seed, CAST(seed // 2 AS INT) AS band,
+         MIN(CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || tok),
+                                  1, 15)) AS BIGINT)) AS minhash
+  FROM toks CROSS JOIN seeds GROUP BY uid, seed
+), bands AS (
+  SELECT uid, band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)
+           AS band_key
+  FROM sig GROUP BY uid, band
+), cand AS (
+  SELECT DISTINCT a.uid AS ua, b.uid AS ub
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE starts_with(a.uid, 'c:') AND starts_with(b.uid, 'r:')
+), sizes AS (SELECT uid, COUNT(*) AS sz FROM toks GROUP BY uid),
+inter AS (
+  SELECT c.ua, c.ub, COUNT(*) AS i
+  FROM cand c
+  JOIN toks a ON a.uid = c.ua
+  JOIN toks b ON b.uid = c.ub AND b.tok = a.tok
+  GROUP BY 1, 2
+), seen AS (
+  SELECT DISTINCT substr(ua, 3) AS sid
+  FROM inter
+  JOIN sizes sa ON sa.uid = ua
+  JOIN sizes sb ON sb.uid = ub
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+)
+SELECT doc_id, source FROM documents
+WHERE CAST(doc_id AS VARCHAR) NOT IN (SELECT sid FROM seen)
+""")
+def doc_remove_seen(spark, sf):
+    """Cross-corpus dedup (ungraded oracle): a reference corpus is
+    SYNTHESIZED from every 4th document (exact copies; lightly-edited
+    copies every 8th — one appended token, still >= 0.9 Jaccard; and
+    heavily-padded copies on the %8==4 schedule — 15 junk tokens,
+    candidates that the Jaccard verification must REJECT), then
+    dedup.remove_seen drops corpus docs near-dup to any reference doc
+    via side-tagged union -> one MinHash pass -> cross-side-only LSH
+    candidates -> Jaccard verify. DuckDB replays the full banding +
+    verification over the same union — bit-exact."""
+    from webalizer_spark.operators.dedup import remove_seen
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    ref = (docs.where(did % 4 == 0)
+           .select("doc_id",
+                   F.concat(
+                       F.col("text"),
+                       F.when(did % 8 == 0, F.lit(" refextra"))
+                       .when(did % 8 == 4,
+                             F.lit(" jx1 jx2 jx3 jx4 jx5 jx6 jx7 jx8 jx9"
+                                   " jx10 jx11 jx12 jx13 jx14 jx15"))
+                       .otherwise("")).alias("text")))
+    return remove_seen(docs, ref).select("doc_id", "source")
+
+
 @qu("doc_entropy", """
 WITH t AS (
   SELECT doc_id, coalesce(text, '') AS txt FROM documents
