@@ -931,3 +931,31 @@ def test_profile_table_wide_double_render(spark):
     prof = {r["column_name"]: r for r in profile_table(df).collect()}
     assert prof["v"]["max_val"] == "1700000000000.000000"
     assert prof["v"]["min_val"] == "2.500000"
+
+
+def test_prep_pipeline_composition_zero_exchange(spark):
+    """The html_to_text -> dedup_lines -> c4_line_filter composition
+    must stay ONE narrow projection chain — no Exchange anywhere (each
+    stage is per-row HOFs, and composing them must not introduce a
+    shuffle)."""
+    from webalizer_spark.operators.quality import (
+        c4_line_filter,
+        dedup_lines,
+        html_to_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "<p>one two three four five.</p><p>one two three four "
+             "five.</p><script>x</script><p>six seven eight nine ten!"
+             "</p><p>more words in this line too?</p>")],
+        "doc_id bigint, html string")
+    ext = docs.select("doc_id", html_to_text(F.col("html")).alias("text"))
+    out = c4_line_filter(dedup_lines(ext).select("doc_id", "text"),
+                         min_words=5, min_lines=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    row = out.collect()[0]
+    assert row["text"] == ("one two three four five.\n"
+                           "six seven eight nine ten!\n"
+                           "more words in this line too?")
+    assert row["n_kept"] == 3

@@ -1991,6 +1991,117 @@ def doc_corpus_diff(spark, sf):
     return corpus_diff(docs, new)
 
 
+@qu("doc_prep_pipeline", """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+         CAST(doc_id % 3 + 5 AS INTEGER) AS w
+  FROM documents
+), np AS (
+  SELECT doc_id, toks, w,
+         CAST(floor((len(toks) + w - 1) / w) AS INTEGER) AS n
+  FROM t
+), lines0 AS (
+  -- mk(jj): paragraph jj's final text (chunk + cookie + punct);
+  -- every 3rd paragraph is a COPY of paragraph 1 (jj = 1)
+  SELECT doc_id,
+         list_prepend('Page ' || (doc_id % 10),
+           list_transform(
+             list_transform(range(1, n + 1),
+                            j -> CASE WHEN j % 3 = 0
+                                      THEN CAST(1 AS BIGINT)
+                                      ELSE j END),
+             jj -> array_to_string(list_slice(toks, (jj - 1) * w + 1,
+                                              jj * w), ' ')
+                   || CASE WHEN (doc_id * 3 + jj) % 13 = 0
+                           THEN ' cookie' ELSE '' END
+                   || CASE (doc_id + jj) % 4 WHEN 0 THEN '.'
+                           WHEN 1 THEN '!' WHEN 2 THEN '' ELSE '?' END))
+           AS lines
+  FROM np
+), ldd AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(range(1, len(lines) + 1),
+                          i -> CASE WHEN list_position(lines, lines[i]) = i
+                                    THEN lines[i] END),
+           x -> x IS NOT NULL) AS lines
+  FROM lines0
+), kept AS (
+  SELECT doc_id,
+         list_filter(lines, x ->
+             regexp_matches(x, '[.!?"]$')
+             AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                                 t2 -> t2 <> '')) >= 5
+             AND NOT contains(lower(x), '{')
+             AND NOT contains(lower(x), 'javascript')
+             AND NOT contains(lower(x), 'lorem ipsum')
+             AND NOT contains(lower(x), 'cookie')) AS k
+  FROM ldd
+)
+SELECT doc_id, md5(array_to_string(k, chr(10))) AS text_md5,
+       CAST(len(k) AS BIGINT) AS n_kept
+FROM kept WHERE len(k) >= 3
+""")
+def doc_prep_pipeline(spark, sf):
+    """Composite corpus-prep flagship (ungraded oracle): the first
+    three stages a web-corpus pipeline runs, COMPOSED — HTML pages
+    synthesized from `documents` (title + style/script/comment junk,
+    <b>-wrapped paragraphs, a duplicate paragraph every 3rd line, a
+    ' cookie' blocklist injection, a no-punctuation branch) flow
+    through quality.html_to_text -> dedup_lines -> c4_line_filter in
+    one DataFrame plan (all three stages are zero-shuffle HOF passes —
+    the composition stays a single narrow projection chain). The
+    DuckDB twin derives the expected line list directly from the
+    synthesis schedule (never parsing HTML) and replays the
+    first-occurrence and C4 rules — each stage is individually graded
+    elsewhere (doc_html_text / doc_line_dedup / doc_c4_lines); this
+    row grades their COMPOSITION."""
+    from webalizer_spark.operators.quality import (
+        c4_line_filter,
+        dedup_lines,
+        html_to_text,
+    )
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    w = (did % 3 + 5).cast("int")
+    n = F.floor((F.size(toks) + w - 1) / w).cast("int")
+
+    def mk(jj):
+        body = F.concat_ws(" ", F.slice(toks, (jj - 1) * w + 1, w))
+        body = F.concat(
+            body,
+            F.when((did * 3 + jj) % 13 == 0, F.lit(" cookie")).otherwise(""),
+            (lambda m: F.when(m == 0, ".").when(m == 1, "!")
+             .when(m == 2, "").otherwise("?"))((did + jj) % 4))
+        return body
+
+    def para(j):
+        body = mk(F.when(j % 3 == 0, F.lit(1).cast("bigint")).otherwise(j))
+        body = (F.when(j % 2 == 0,
+                       F.concat(F.lit("<b>"), body, F.lit("</b>")))
+                .otherwise(body))
+        return F.concat(
+            F.when((did + j) % 7 == 0,
+                   F.lit("<!-- nav\nchrome -->")).otherwise(""),
+            F.lit("<p>"), body, F.lit("</p>"),
+            F.when((did * 7 + j) % 5 == 0,
+                   F.lit("<script>var p='<p>no</p>';</script>"))
+            .otherwise(""))
+
+    html = F.concat(
+        F.lit("<html><head><title>Page "), (did % 10).cast("string"),
+        F.lit("</title><style>p{x:y}</style></head><body>"),
+        F.array_join(F.transform(F.sequence(F.lit(1), n), para), ""),
+        F.lit("</body></html>"))
+    extracted = docs.select("doc_id", html_to_text(html).alias("text"))
+    out = c4_line_filter(dedup_lines(extracted).select("doc_id", "text"),
+                         min_words=5, min_lines=3)
+    return out.select("doc_id", F.md5("text").alias("text_md5"),
+                      F.col("n_kept").cast("bigint").alias("n_kept"))
+
+
 @qu("doc_remove_seen", """
 WITH u AS (
   SELECT 'c:' || doc_id AS uid, text FROM documents
