@@ -959,3 +959,23 @@ def test_prep_pipeline_composition_zero_exchange(spark):
                            "six seven eight nine ten!\n"
                            "more words in this line too?")
     assert row["n_kept"] == 3
+
+
+def test_split_sentences_rules(spark):
+    """Sentence segmentation: terminal bursts ('?!', '...') stay with
+    their sentence, unterminated fragments are sentences, whitespace
+    trims, empty/NULL docs yield nothing, indices are per-doc."""
+    from webalizer_spark.operators.quality import split_sentences
+
+    rows = [(1, "One two. Three four?! Done... trailing frag"),
+            (2, "no punctuation fragment only"),
+            (3, ""), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {}
+    for r in split_sentences(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"], r["n_words"]))
+    assert sorted(got[1]) == [(0, "One two.", 2), (1, "Three four?!", 2),
+                              (2, "Done...", 1), (3, "trailing frag", 2)]
+    assert got[2] == [(0, "no punctuation fragment only", 4)]
+    assert 3 not in got and 4 not in got

@@ -1991,6 +1991,74 @@ def doc_corpus_diff(spark, sf):
     return corpus_diff(docs, new)
 
 
+@qu("doc_sentences", """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+         CAST(doc_id % 4 + 3 AS INTEGER) AS w
+  FROM documents
+), synth AS (
+  -- sentence-shaped text: w-token groups punctuated by a schedule
+  -- that includes MULTI-punct bursts ('?!'), plus an unterminated
+  -- trailing fragment on every 3rd doc
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(1, CAST(floor((len(toks) + w - 1) / w) AS INTEGER) + 1),
+           j -> array_to_string(list_slice(toks, (j - 1) * w + 1, j * w),
+                                ' ')
+                || CASE (doc_id + j) % 4 WHEN 0 THEN '.' WHEN 1 THEN '?!'
+                        WHEN 2 THEN '!' ELSE '...' END
+         ), ' ')
+         || CASE WHEN doc_id % 3 = 0 THEN ' trailing frag' ELSE '' END
+           AS text
+  FROM t
+), sents AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'),
+           x -> trim(x)), x -> x <> '') AS s
+  FROM synth
+), e AS (
+  SELECT doc_id, generate_subscripts(s, 1) - 1 AS sent_idx,
+         unnest(s) AS sentence
+  FROM sents
+)
+SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, sentence,
+       CAST(len(list_filter(regexp_split_to_array(trim(sentence), '\\s+'),
+                            t2 -> t2 <> '')) AS BIGINT) AS n_words
+FROM e
+""")
+def doc_sentences(spark, sf):
+    """Sentence segmentation (ungraded oracle): sentence-shaped text is
+    SYNTHESIZED from `documents` (w-token groups with a punctuation
+    schedule including '?!' bursts and '...' ellipses, an unterminated
+    trailing fragment every 3rd doc), then quality.split_sentences
+    segments it while DuckDB replays the same RE2-safe pattern (no
+    lookarounds — RE2 has none) and re-derives indices and word
+    counts. Bit-exact."""
+    from webalizer_spark.operators.quality import split_sentences
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    w = (did % 4 + 3).cast("int")
+    n = F.floor((F.size(toks) + w - 1) / w).cast("int")
+
+    def mk(j):
+        m = (did + j) % 4
+        punct = (F.when(m == 0, ".").when(m == 1, "?!")
+                 .when(m == 2, "!").otherwise("..."))
+        return F.concat(
+            F.concat_ws(" ", F.slice(toks, (j - 1) * w + 1, w)), punct)
+
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.transform(F.sequence(F.lit(1), n), mk), " "),
+            F.when(did % 3 == 0, F.lit(" trailing frag")).otherwise(""))
+        .alias("text"))
+    return split_sentences(synth)
+
+
 @qu("doc_prep_pipeline", """
 WITH t AS (
   SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
