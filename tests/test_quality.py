@@ -979,3 +979,29 @@ def test_split_sentences_rules(spark):
                               (2, "Done...", 1), (3, "trailing frag", 2)]
     assert got[2] == [(0, "no punctuation fragment only", 4)]
     assert 3 not in got and 4 not in got
+
+
+def test_chunk_by_sentences_semantics(spark):
+    """Greedy sentence packing: whole sentences only, budget respected,
+    oversized sentence becomes its own chunk, order preserved, empty
+    and NULL docs yield nothing, max_tokens validates."""
+    import pytest
+
+    from webalizer_spark.operators.quality import chunk_by_sentences
+
+    rows = [(1, "a b c. d e. f g h i j k l m n o p q r s t. u v."),
+            (2, ""), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {}
+    for r in chunk_by_sentences(docs, max_tokens=6).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
+    # 'a b c.'(3) + 'd e.'(2) fit in 6; the 16-word sentence is its own
+    # oversized chunk; 'u v.' starts fresh
+    assert sorted(got[1]) == [
+        (0, "a b c. d e.", 5),
+        (1, "f g h i j k l m n o p q r s t.", 15),
+        (2, "u v.", 2)]
+    assert 2 not in got and 3 not in got
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_by_sentences(docs, max_tokens=0)

@@ -1349,3 +1349,53 @@ def split_sentences(docs: DataFrame, id_col: str = "doc_id",
                               lambda t: t != ""))
     return e.select(id_col, "sent_idx", "sentence",
                     n_words.cast("bigint").alias("n_words"))
+
+
+def chunk_by_sentences(docs: DataFrame, max_tokens: int = 64,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Sentence-aware chunking: greedily pack whole SENTENCES into
+    chunks of at most ``max_tokens`` whitespace words — the
+    RAG/embedding-era sibling of sampling.chunk_documents, which cuts
+    at fixed token offsets mid-sentence. A sentence longer than the
+    budget becomes its own oversized chunk (never split). The greedy
+    fold is inherently sequential PER DOCUMENT but each document's
+    fold runs inside its own row — one HOF aggregate, zero shuffle
+    before the final narrow posexplode."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")),
+                                 F.lit(r"[^.!?]*[.!?]+|[^.!?]+$"),
+                                 F.lit(0)),
+            lambda s: F.trim(s)),
+        lambda s: s != "")
+
+    def nw(s):
+        return F.size(F.filter(F.split(s, r"\s+"), lambda t: t != ""))
+
+    empty = F.array().cast("array<string>")
+    folded = F.aggregate(
+        sents,
+        F.named_struct(F.lit("chunks"), empty,
+                       F.lit("cur"), F.lit(""),
+                       F.lit("cur_n"), F.lit(0)),
+        lambda acc, s: (lambda n: F.named_struct(
+            F.lit("chunks"),
+            F.when((acc["cur"] != "") & (acc["cur_n"] + n > max_tokens),
+                   F.concat(acc["chunks"], F.array(acc["cur"])))
+            .otherwise(acc["chunks"]),
+            F.lit("cur"),
+            F.when((acc["cur"] != "") & (acc["cur_n"] + n <= max_tokens),
+                   F.concat_ws(" ", acc["cur"], s)).otherwise(s),
+            F.lit("cur_n"),
+            F.when((acc["cur"] != "") & (acc["cur_n"] + n <= max_tokens),
+                   acc["cur_n"] + n).otherwise(n)))(nw(s)),
+        lambda acc: F.when(acc["cur"] == "", acc["chunks"])
+        .otherwise(F.concat(acc["chunks"], F.array(acc["cur"]))))
+    e = (docs.select(F.col(id_col), folded.alias("_chunks"))
+         .select(F.col(id_col),
+                 F.posexplode("_chunks").alias("chunk_idx", "chunk_text")))
+    return e.select(id_col, "chunk_idx", "chunk_text",
+                    nw(F.col("chunk_text")).cast("bigint").alias("n_tokens"))

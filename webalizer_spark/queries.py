@@ -2059,6 +2059,103 @@ def doc_sentences(spark, sf):
     return split_sentences(synth)
 
 
+@qu("doc_sentence_chunks", """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
+         CAST(doc_id % 4 + 3 AS INTEGER) AS w
+  FROM documents
+), synth AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(1, CAST(floor((len(toks) + w - 1) / w) AS INTEGER) + 1),
+           j -> array_to_string(list_slice(toks, (j - 1) * w + 1, j * w),
+                                ' ')
+                || CASE (doc_id + j) % 4 WHEN 0 THEN '.' WHEN 1 THEN '?!'
+                        WHEN 2 THEN '!' ELSE '...' END
+         ), ' ')
+         || CASE WHEN doc_id % 3 = 0 THEN ' trailing frag' ELSE '' END
+           AS text
+  FROM t
+), sl AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$'),
+           x -> trim(x)), x -> x <> '') AS s
+  FROM synth
+), sx AS (
+  SELECT doc_id, generate_subscripts(s, 1) AS i, unnest(s) AS sentence,
+         len(s) AS cnt
+  FROM sl
+), sn AS (
+  SELECT doc_id, i, sentence, cnt,
+         len(list_filter(regexp_split_to_array(trim(sentence), '\\s+'),
+                         t2 -> t2 <> '')) AS n
+  FROM sx
+), step AS (
+  SELECT doc_id, 0 AS i, CAST('' AS VARCHAR) AS cur, 0 AS cur_n,
+         CAST([] AS VARCHAR[]) AS chunks, cnt
+  FROM (SELECT DISTINCT doc_id, cnt FROM sn)
+  UNION ALL
+  SELECT st.doc_id, st.i + 1,
+         CASE WHEN st.cur <> '' AND st.cur_n + s.n <= 12
+              THEN st.cur || ' ' || s.sentence ELSE s.sentence END,
+         CASE WHEN st.cur <> '' AND st.cur_n + s.n <= 12
+              THEN st.cur_n + s.n ELSE s.n END,
+         CASE WHEN st.cur <> '' AND st.cur_n + s.n > 12
+              THEN list_append(st.chunks, st.cur) ELSE st.chunks END,
+         st.cnt
+  FROM step st JOIN sn s ON s.doc_id = st.doc_id AND s.i = st.i + 1
+  WHERE st.i < st.cnt
+), final AS (
+  SELECT doc_id,
+         CASE WHEN cur = '' THEN chunks
+              ELSE list_append(chunks, cur) END AS chunks
+  FROM step WHERE i = cnt
+), e AS (
+  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+         unnest(chunks) AS chunk_text
+  FROM final
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+       CAST(len(list_filter(regexp_split_to_array(trim(chunk_text),
+                                                  '\\s+'),
+                            t2 -> t2 <> '')) AS BIGINT) AS n_tokens
+FROM e
+""")
+def doc_sentence_chunks(spark, sf):
+    """Sentence-aware chunking (ungraded oracle): the same synthesized
+    sentence corpus as doc_sentences, greedily packed into chunks of
+    <= 12 whitespace words without splitting any sentence (oversized
+    sentences become their own chunk). The engine folds per document
+    inside one HOF aggregate (zero shuffle before the final explode);
+    DuckDB replays the greedy fold as a RECURSIVE CTE stepping all
+    documents through their sentence indices in lockstep — an
+    independent sequential implementation of the same packing rule.
+    Bit-exact."""
+    from webalizer_spark.operators.quality import chunk_by_sentences
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    w = (did % 4 + 3).cast("int")
+    n = F.floor((F.size(toks) + w - 1) / w).cast("int")
+
+    def mk(j):
+        m = (did + j) % 4
+        punct = (F.when(m == 0, ".").when(m == 1, "?!")
+                 .when(m == 2, "!").otherwise("..."))
+        return F.concat(
+            F.concat_ws(" ", F.slice(toks, (j - 1) * w + 1, w)), punct)
+
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.transform(F.sequence(F.lit(1), n), mk), " "),
+            F.when(did % 3 == 0, F.lit(" trailing frag")).otherwise(""))
+        .alias("text"))
+    return chunk_by_sentences(synth, max_tokens=12)
+
+
 @qu("doc_prep_pipeline", """
 WITH t AS (
   SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
