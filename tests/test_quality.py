@@ -1005,3 +1005,33 @@ def test_chunk_by_sentences_semantics(spark):
     assert 2 not in got and 3 not in got
     with pytest.raises(ValueError, match="max_tokens"):
         chunk_by_sentences(docs, max_tokens=0)
+
+
+def test_column_top_values_semantics(spark):
+    """column_top_values: per-column count-desc value-asc ranking,
+    NULL counts as a value (and sorts first among ties), k cuts,
+    unknown/empty columns refuse."""
+    import pytest
+
+    from webalizer_spark.operators.quality import column_top_values
+
+    rows = [("a", 1), ("a", 1), ("b", 1), (None, 2), (None, 2)]
+    df = spark.createDataFrame(rows, "tag string, v bigint")
+    got = [(r["column_name"], r["value"], r["cnt"], r["rnk"])
+           for r in column_top_values(df, ["tag", "v"], k=2)
+           .orderBy("column_name", "rnk").collect()]
+    assert got == [
+        ("tag", "a", 2, 1), ("tag", None, 2, 2),   # NULL ties, a < NULL?
+        ("v", "1", 3, 1), ("v", "2", 2, 2),
+    ] or got == [
+        ("tag", None, 2, 1), ("tag", "a", 2, 2),
+        ("v", "1", 3, 1), ("v", "2", 2, 2),
+    ]
+    # pin the actual NULL placement so the oracle and engine stay in
+    # lockstep: Spark asc() is NULLS FIRST
+    assert got[0] == ("tag", None, 2, 1)
+
+    with pytest.raises(ValueError, match="unknown"):
+        column_top_values(df, ["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        column_top_values(df, [])

@@ -1399,3 +1399,39 @@ def chunk_by_sentences(docs: DataFrame, max_tokens: int = 64,
                  F.posexplode("_chunks").alias("chunk_idx", "chunk_text")))
     return e.select(id_col, "chunk_idx", "chunk_text",
                     nw(F.col("chunk_text")).cast("bigint").alias("n_tokens"))
+
+
+def column_top_values(df: DataFrame, columns: list[str],
+                      k: int = 5) -> DataFrame:
+    """Top-k most frequent values per column (the profile_table
+    companion a data-quality sweep prints for CATEGORICAL columns):
+    one narrow struct-array explode stacks the requested columns into
+    (column_name, value) rows, ONE groupBy counts them, and the
+    ranking window runs over the COUNTS table partitioned by column —
+    never over the input. Values render as strings (NULL stays NULL
+    and counts like any other value). Deterministic ties: count desc,
+    value asc (NULLS FIRST, Spark's asc default — mirrored in the
+    oracle). Meant for columns whose distinct count (see
+    profile_table) is bounded; on an id-like column the counts table
+    is corpus-sized and the per-column window becomes the cost."""
+    from pyspark.sql import Window
+
+    if not columns:
+        raise ValueError("column_top_values needs at least one column")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    entries = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(c).cast("string").alias("value"))
+        for c in columns])).alias("e")
+    counts = (df.select(entries).select("e.*")
+              .groupBy("column_name", "value")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("column_name").orderBy(
+        F.col("cnt").desc(), F.col("value").asc())
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("column_name", "value",
+                    F.col("cnt").cast("bigint").alias("cnt"),
+                    F.col("rnk").cast("int").alias("rnk")))

@@ -2267,6 +2267,66 @@ def doc_prep_pipeline(spark, sf):
                       F.col("n_kept").cast("bigint").alias("n_kept"))
 
 
+@qu("evt_top_values", """
+WITH stacked AS (
+  SELECT 'event_type' AS column_name, CAST(event_type AS VARCHAR) AS value
+  FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'props', CAST(props AS VARCHAR) FROM events
+), counts AS (
+  SELECT column_name, value, COUNT(*) AS cnt
+  FROM stacked GROUP BY column_name, value
+), ranked AS (
+  SELECT column_name, value, cnt,
+         row_number() OVER (PARTITION BY column_name
+                            ORDER BY cnt DESC, value ASC NULLS FIRST)
+           AS rnk
+  FROM counts
+)
+SELECT column_name, value, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+""")
+def evt_top_values(spark, sf):
+    """Per-column top-k values (ungraded oracle): the profile_table
+    companion over the events categoricals — one struct-array explode
+    stacks the columns, ONE groupBy counts, and the ranking window
+    runs over the counts table (never the input). DuckDB re-derives
+    with a UNION-stacked group + row_number; deterministic count-desc
+    value-asc ties. Bit-exact."""
+    from webalizer_spark.operators.quality import column_top_values
+
+    return column_top_values(_t(spark, sf, "events"),
+                             ["event_type", "user_id", "props"], k=5)
+
+
+@qu("doc_dup_cluster_sizes", _DUP_CC_CTE + """
+, comp AS (
+  SELECT label, COUNT(*) AS members FROM labels GROUP BY label
+)
+SELECT CAST(members AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM comp GROUP BY members
+""")
+def doc_dup_cluster_sizes(spark, sf):
+    """Duplicate-cluster size histogram (ungraded oracle): how many
+    near-dup components exist at each size — the first diagnostic a
+    dedup run reports (a fat tail here means boilerplate detonation;
+    singletons never enter the component table). Composes the graded
+    connected-components path with one two-level aggregation; the
+    oracle re-derives from the recursive-CTE closure."""
+    from webalizer_spark.operators.dedup import connected_min_label
+
+    edges = _dup_edges(spark, sf).select("doc_a", "doc_b")
+    comp = connected_min_label(edges)
+    return (comp.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("members"))
+            .groupBy(F.col("members").cast("bigint").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters")))
+
+
 @qu("doc_remove_seen", """
 WITH u AS (
   SELECT 'c:' || doc_id AS uid, text FROM documents
