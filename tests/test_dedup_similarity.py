@@ -480,3 +480,27 @@ def test_remove_seen_cross_corpus(spark):
     kept2 = sorted(r["doc_id"] for r in
                    remove_seen(corpus, empty_ref).collect())
     assert kept2 == [1, 2, 3, 4]
+
+
+def test_containment_vs_jaccard(spark):
+    """Containment finds the excerpt symmetric Jaccard misses: a
+    5-token excerpt of a 20-token doc scores containment 1.0 but
+    Jaccard 0.25; unrelated docs score low on both."""
+    from webalizer_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        shingles,
+    )
+
+    full = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, full), (2, "w0 w1 w2 w3 w4"),
+         (3, "x1 x2 x3 x4 x5 x6")],
+        "doc_id long, text string")
+    sh = shingles(docs)
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(sh, threshold=0.9).collect()}
+    assert cont == {(1, 2): 1.0}
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_pairs(sh, 0.9).collect()}
+    assert (1, 2) not in jac          # 5/20 = 0.25: Jaccard misses it

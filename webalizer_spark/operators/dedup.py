@@ -515,3 +515,44 @@ def remove_seen(corpus: DataFrame, reference: DataFrame,
         seen = F.broadcast(seen)
     return corpus.join(
         seen, F.col(id_col).cast("string") == F.col("_sid"), "left_anti")
+
+
+def containment_pairs(sh: DataFrame, threshold: float = 0.8,
+                      id_col: str = "doc_id",
+                      candidates: DataFrame | None = None) -> DataFrame:
+    """One-sided Jaccard (containment): |A n B| / min(|A|, |B|) —
+    catches a document CONTAINED in another (quotes, excerpts,
+    wrapper pages) that symmetric Jaccard dilutes below any useful
+    threshold when the container is much larger. Same physical shape
+    as jaccard_pairs (candidates-first fan-out or the size-guarded
+    all-pairs baseline). Honest recall note: MinHash approximates
+    SYMMETRIC Jaccard, so LSH candidates under-recall asymmetric
+    containment pairs — at scale pair generation should come from the
+    winnowing/span fingerprint families (which key on shared content
+    directly) with this operator as the verifier; the all-pairs form
+    is exact."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is not None:
+        fan = (sh.withColumnRenamed(id_col, "doc_a")
+               .withColumnRenamed("shingle", "_sh")
+               .join(candidates, "doc_a"))
+        b = (sh.withColumnRenamed(id_col, "doc_b")
+             .withColumnRenamed("shingle", "_sh"))
+        inter = (fan.join(b, ["doc_b", "_sh"])
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count(F.lit(1)).alias("i")))
+    else:
+        _guard_all_pairs(sh, id_col, "containment_pairs")
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                 .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                          F.col(f"b.{id_col}").alias("doc_b"))
+                 .agg(F.count(F.lit(1)).alias("i")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"))
+    cont = F.col("i").cast("double") / F.least("sza", "szb")
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .where(cont >= threshold)
+            .select("doc_a", "doc_b",
+                    F.round(cont, 6).alias("containment")))

@@ -2267,6 +2267,57 @@ def doc_prep_pipeline(spark, sf):
                       F.col("n_kept").cast("bigint").alias("n_kept"))
 
 
+@qu("doc_containment", """
+WITH base AS (
+  -- planted excerpts: every 6th doc spawns a SHORT excerpt doc made of
+  -- its first 5 distinct tokens — symmetric Jaccard dilutes these far
+  -- below threshold, containment finds them
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_slice(
+           list_sort(list_distinct(string_split(coalesce(text, ''), ' '))),
+           1, 5), ' ')
+  FROM documents WHERE doc_id % 6 = 0
+), toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM base)
+), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / LEAST(sa.sz, sb.sz), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.99
+""")
+def doc_containment(spark, sf):
+    """Containment pairs (ungraded oracle): short excerpt docs are
+    SYNTHESIZED (first 5 SORTED distinct tokens of every 6th doc,
+    id+1e6; sorted because DuckDB's list_distinct does not preserve
+    first-occurrence order while Spark's array_distinct does) —
+    pairs symmetric Jaccard dilutes to ~0.1 but containment scores
+    1.0. Exact all-pairs form (size-guarded; the scale path pairs this
+    verifier with the winnowing/span fingerprint candidate families,
+    since MinHash-LSH under-recalls asymmetric overlap — documented).
+    DuckDB re-derives the synthesis and the one-sided measure."""
+    from webalizer_spark.operators.dedup import containment_pairs, shingles
+
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    excerpt = (docs.where(did % 6 == 0)
+               .select((did + 1000000).alias("doc_id"),
+                       F.array_join(F.slice(F.array_sort(F.array_distinct(
+                           F.split(txt, " "))), 1, 5), " ").alias("text")))
+    base = docs.select("doc_id", txt.alias("text")).unionByName(excerpt)
+    return containment_pairs(shingles(base), threshold=0.99)
+
+
 @qu("evt_top_values", """
 WITH stacked AS (
   SELECT 'event_type' AS column_name, CAST(event_type AS VARCHAR) AS value
