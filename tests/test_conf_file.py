@@ -93,7 +93,7 @@ def test_parse_conf_dump_last_wins():
     assert cfg.dumps == ("tools",)
 
 
-def test_cli_conf_file_drives_pipeline(tmp_path):
+def test_cli_conf_file_drives_pipeline(tmp_path, fixture_dir):
     """A conf file alone reshapes the CLI run: TopURLs caps the table,
     IgnoreURL drops records, GroupURL emits the grouped report, DumpURLs
     writes the full all_tools dump."""
@@ -104,7 +104,7 @@ def test_cli_conf_file_drives_pipeline(tmp_path):
     out = str(tmp_path / "out")
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
-         "--input", os.path.join(REPO, "_gen", "sf_test"),
+         "--input", fixture_dir,
          "--output", out, "--conf", str(conf)],
         capture_output=True, text=True, timeout=420,
         env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
