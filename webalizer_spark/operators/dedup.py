@@ -120,6 +120,13 @@ def lsh_candidate_pairs(sig: DataFrame, rows_per_band: int = 2,
                 lambda s: s["minhash"].cast("string")), ",").alias("band_key")))
     keys = _cap_hot_keys(keys, ["band", "band_key"], max_bucket_size,
                          "lsh_candidate_pairs")
+    if max_bucket_size is None:
+        # the self-join below reads keys twice; without a barrier each
+        # side re-runs the whole MinHash signature + band aggregation
+        # lineage (the cap path already materialized inside
+        # _cap_hot_keys). The key table is docs x bands rows — tiny
+        # next to the signature pipeline it summarizes.
+        keys = keys.localCheckpoint(eager=False)
     a, b = keys.alias("a"), keys.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_key") == F.col("b.band_key"))
@@ -233,6 +240,11 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 2, bits: int = 16,
             .select(id_col, "simhash", "blk", "bval"))
     keys = _cap_hot_keys(keys, ["blk", "bval"], max_block_freq,
                          "simhash_pairs")
+    if max_block_freq is None:
+        # barrier before the self-join: sig is often the full SimHash
+        # token aggregation, which both join sides would otherwise
+        # recompute (the cap path materializes inside _cap_hot_keys)
+        keys = keys.localCheckpoint(eager=False)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.bval") == F.col("b.bval"))
@@ -284,8 +296,14 @@ def winnow_fingerprints(df: DataFrame, k: int = 3, window: int = 4,
     sel = hashed.withColumn(
         "win_min", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))
                          ).over(w))
-    # only full windows select (positions 0 .. n_grams - window)
-    counts = hashed.groupBy(id_col).agg(F.max("pos").alias("max_pos"))
+    # only full windows select (positions 0 .. n_grams - window).
+    # max_pos (= n_grams - 1) is computed straight from the doc table —
+    # the old groupBy(max(pos)) over `hashed` re-ran the whole k-gram
+    # explosion + md5 a second time just to learn each doc's gram count
+    # (round 7, guide §2.4); the per-doc table joins broadcast-style and
+    # the gram-stream Exchange stays at its original 3 columns.
+    counts = (df.select(F.col(id_col), (n_grams - 1).alias("max_pos"))
+              .where(n_grams > 0))
     return (sel.join(counts, id_col)
             .filter(F.col("pos") <= F.col("max_pos") - window + 1)
             .select(id_col, F.col("win_min.h").alias("fingerprint"),
@@ -309,6 +327,11 @@ def winnow_copy_pairs(fp: DataFrame, min_shared: int = 3,
     keys = fp.select(id_col, "fingerprint").distinct()
     keys = _cap_hot_keys(keys, ["fingerprint"], max_fp_freq,
                          "winnow_copy_pairs")
+    if max_fp_freq is None:
+        # barrier before the self-join: fp is the winnowing window
+        # pipeline (k-gram hash + per-doc window min), which both join
+        # sides would otherwise recompute
+        keys = keys.localCheckpoint(eager=False)
     a, b = keys.alias("a"), keys.alias("b")
     return (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -332,9 +355,13 @@ def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     grow exponentially; only the (tiny) dup-subgraph vertices iterate —
     the corpus itself never enters the loop.
     """
-    # materialize the symmetrized edge list ONCE: edges may be an
-    # expensive plan (for near_dup_remove_lsh it is the whole LSH
-    # candidate join + cosine verify) and every round references sym
+    # lazy barrier on the edge list FIRST: the union below references
+    # edges twice (v->u and u->v), and edges may be an expensive plan
+    # (for near_dup_remove_lsh it is the whole LSH candidate join +
+    # cosine verify) — without this, materializing sym executed that
+    # plan twice (round 7)
+    edges = edges.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    # materialize the symmetrized edge list ONCE: every round reads sym
     sym = (edges.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("u"))
            .unionByName(
                edges.select(F.col("doc_b").alias("v"),
@@ -347,25 +374,23 @@ def connected_min_label(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         neigh = (sym.join(labels.select(F.col("v").alias("u"),
                                         F.col("label").alias("ulabel")), "u")
                  .groupBy("v").agg(F.min("ulabel").alias("nlabel")))
-        # checkpoint prop before self-joining it: jump references prop
-        # twice, and without the barrier the whole propagation subtree
-        # would execute twice per round (optimizer reuse is not
-        # guaranteed across the join)
-        prop = (labels.join(neigh, "v", "left")
-                .select("v", F.col("label").alias("old"), F.least(
-                    "label", F.coalesce("nlabel", F.col("label"))
-                ).alias("label"))
-                .localCheckpoint(eager=True))
-        # pointer jumping: label <- label(label). Every label is itself
-        # a vertex id (labels only ever take vertex values), so the
-        # self-join always resolves; left join guards the fixpoint rows.
-        jump = prop.select(F.col("v").alias("label"),
-                           F.col("label").alias("label2"))
+        # pointer jumping via the PREVIOUS round's mapping (classic
+        # pointer doubling): label <- label(label) resolves against
+        # `labels`, which is already checkpointed, so propagation and
+        # jump fuse into ONE materialized job per round — the old
+        # prop-then-jump form paid two checkpoint jobs per round for
+        # the same O(log diameter) contraction (round 7, guide §1.2:
+        # fewer passes). Every label is itself a vertex id, so the
+        # jump join always resolves; left join guards fixpoint rows.
+        jump = labels.select(F.col("v").alias("label"),
+                             F.col("label").alias("label2"))
         # carry the round-start label ("old") through so convergence is
         # a filter over the checkpointed result — no extra join job
-        new_labels = (prop.join(jump, "label", "left")
-                      .select("v", "old", F.least(
-                          "label", F.coalesce("label2", F.col("label"))
+        new_labels = (labels.join(neigh, "v", "left")
+                      .join(jump, "label", "left")
+                      .select("v", F.col("label").alias("old"), F.least(
+                          "label", F.coalesce("nlabel", F.col("label")),
+                          F.coalesce("label2", F.col("label"))
                       ).alias("label"))
                       .localCheckpoint(eager=True))
         changed = (new_labels.filter(F.col("label") != F.col("old"))
@@ -509,8 +534,13 @@ def remove_seen(corpus: DataFrame, reference: DataFrame,
     dup = cross_near_dup_pairs(corpus, reference, content_col, id_col,
                                threshold, num_hashes, rows_per_band,
                                max_bucket_size)
+    # materialize the seen set before the smallness-gate count: its
+    # lineage is the whole cross-corpus MinHash->LSH->Jaccard pipeline,
+    # which the count and the anti-join would otherwise each execute
+    # once (round-6 ADVICE — the sibling dedup tails already barrier
+    # their drop sets via the CC loop's checkpoints)
     seen = (dup.select(F.expr("substring(doc_a, 3)").alias("_sid"))
-            .distinct())
+            .distinct().localCheckpoint(eager=False))
     if seen.limit(_BROADCAST_DROP_MAX + 1).count() <= _BROADCAST_DROP_MAX:
         seen = F.broadcast(seen)
     return corpus.join(

@@ -44,7 +44,7 @@ the same way operators/dedup.py recasts duplicate-hit collapsing.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -283,12 +283,18 @@ def duplicate_spans(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
                                                           n)))))
                      .alias("span_idx", "key"))
              .where(nspans > 0))
-    keepers = (spans.groupBy("key")
-               .agg(F.min(F.struct(id_col, "span_idx")).alias("_keep"),
-                    F.count(F.lit(1)).alias("_cnt"))
-               .where(F.col("_cnt") > 1))
-    return (spans.join(keepers, "key")
-            .where(F.struct(id_col, "span_idx") != F.col("_keep"))
+    # keeper + count via ONE window over the key partition instead of
+    # groupBy + join-back: the join form computed the span explosion
+    # (md5 per span — the dominant CPU) twice, once per join side, and
+    # paid two Exchanges of the full span stream; the window pays one
+    # Exchange + a per-partition sort on the same 16-hex keys (round 7,
+    # guide §2.4). Output rows are identical.
+    w = Window.partitionBy("key")
+    me = F.struct(F.col(id_col), F.col("span_idx"))
+    return (spans
+            .withColumn("_cnt", F.count(F.lit(1)).over(w))
+            .withColumn("_keep", F.min(me).over(w))
+            .where((F.col("_cnt") > 1) & (me != F.col("_keep")))
             .select(id_col, "span_idx"))
 
 
@@ -363,12 +369,18 @@ def duplicated_gram_starts(docs: DataFrame, min_len: int = 16,
                                                           min_len)))))
                      .alias("s", "key"))
              .where(nkeys > 0))
-    keepers = (grams.groupBy("key")
-               .agg(F.min(F.struct(id_col, "s")).alias("_keep"),
-                    F.count(F.lit(1)).alias("_cnt"))
-               .where(F.col("_cnt") > 1))
-    return (grams.join(keepers, "key")
-            .where(F.struct(id_col, "s") != F.col("_keep"))
+    # keeper + count via ONE window over the key partition instead of
+    # groupBy + join-back: the join form computed the sliding-gram
+    # explosion (md5 per gram — the dominant CPU) twice, once per join
+    # side, and paid two Exchanges of the full gram stream; the window
+    # pays one Exchange + a per-partition sort on the same 16-hex keys
+    # (round 7, guide §2.4). Output rows are identical.
+    w = Window.partitionBy("key")
+    me = F.struct(F.col(id_col), F.col("s"))
+    return (grams
+            .withColumn("_cnt", F.count(F.lit(1)).over(w))
+            .withColumn("_keep", F.min(me).over(w))
+            .where((F.col("_cnt") > 1) & (me != F.col("_keep")))
             .select(id_col, "s"))
 
 
@@ -456,12 +468,20 @@ def lm_perplexity(docs: DataFrame, lm: DataFrame | None = None,
     aggregation order — the engine-wide oracle-determinism recipe."""
     if lm is None:
         lm = unigram_logprobs(docs, text_col, alpha)
+    # materialize the LM once (lazy local checkpoint — the with_rank
+    # recipe): the UNK validation count, the UNK-row broadcast and the
+    # vocab-row broadcast below are three separate reads of lm, and a
+    # trained lm's lineage is a full corpus token aggregation — without
+    # this barrier that aggregation executed three times per call
+    # (round-6 ADVICE). The LM is vocab-bounded, broadcast-sized by
+    # contract, so the checkpoint is small at any corpus scale.
+    lm = lm.localCheckpoint(eager=False)
     unk = lm.where(F.col("token").isNull()) \
             .select(F.col("logp").alias("_unk_logp"))
     # a caller-supplied lm without exactly one NULL-token (UNK) row
     # would make the crossJoin below silently empty the result (0 UNK
     # rows) or duplicate every token (>1); fail loudly instead. The
-    # count is on the tiny broadcast-sized lm, not the corpus.
+    # count is on the tiny checkpointed lm, not the corpus.
     n_unk = unk.limit(2).count()
     if n_unk != 1:
         raise ValueError(
@@ -1083,7 +1103,8 @@ def bigram_logmodel(docs: DataFrame, text_col: str = "text",
              .select(F.col("p.prev").alias("prev"),
                      F.col("p.tok").alias("token"))
              .where(F.col("prev").isNotNull()))
-    vw = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("cnt_vw"))
+    vw = (pairs.groupBy("prev", "token")
+          .agg(F.count(F.lit(1)).alias("cnt_vw")))
     # context totals re-aggregate the COUNT TABLE, not the token
     # stream: sum_w c(v,w) == count of v in context position, and vw is
     # orders of magnitude smaller than the pair stream it summarizes
@@ -1135,25 +1156,38 @@ def lm_perplexity_bigram(docs: DataFrame, lam: float = 0.8,
     unk = uni.where(F.col("token").isNull()) \
         .select(F.col("logp").alias("_unk_logp"))
     vw, v = bigram_logmodel(docs, text_col, alpha)
+    uni_nn = uni.where(F.col("token").isNotNull()).select("token", "logp")
+
+    # Round 7 (guide §2.3/§2.4): assemble ONE (prev, token) -> p score
+    # table from the COUNT tables (vw x v x unigram — all vocab-bounded)
+    # so the full pair stream joins once on its natural key instead of
+    # three times (vw on (prev, token), v on (prev), unigram broadcast).
+    # The model is trained on the very corpus it scores, so every
+    # non-initial pair hits the table by construction; the arithmetic
+    # below is the SAME double expression tree as the old per-pair form,
+    # evaluated once per distinct pair instead of once per occurrence —
+    # bit-identical results.
+    p_big = ((F.coalesce(F.col("cnt_vw"), F.lit(0)) + alpha)
+             / (F.coalesce(F.col("cnt_v"), F.lit(0))
+                + alpha * (F.col("_vocab") + 1)))
+    p_uni = F.exp(F.coalesce("logp", "_unk_logp"))
+    score = (vw.join(v, "prev")
+             .join(F.broadcast(uni_nn), "token")
+             .crossJoin(F.broadcast(unk))
+             .crossJoin(F.broadcast(vocab))
+             .select("prev", "token",
+                     (lam * p_big + (1.0 - lam) * p_uni).alias("_p_pair")))
 
     pairs = (docs.select(id_col,
                          F.explode(_bigram_pairs(text_col)).alias("p"))
              .select(id_col, F.col("p.prev").alias("prev"),
                      F.col("p.tok").alias("token")))
     scored = (pairs
-              .join(vw, ["prev", "token"], "left")
-              .join(v, ["prev"], "left")
-              .join(F.broadcast(uni.where(F.col("token").isNotNull())
-                                .select("token", "logp")),
-                    "token", "left")
-              .crossJoin(F.broadcast(unk))
-              .crossJoin(F.broadcast(vocab)))
-    p_uni = F.exp(F.coalesce("logp", "_unk_logp"))
-    p_big = ((F.coalesce(F.col("cnt_vw"), F.lit(0)) + alpha)
-             / (F.coalesce(F.col("cnt_v"), F.lit(0))
-                + alpha * (F.col("_vocab") + 1)))
+              .join(score, ["prev", "token"], "left")
+              .join(F.broadcast(uni_nn), "token", "left")
+              .crossJoin(F.broadcast(unk)))
     p = F.when(F.col("prev").isNull(), p_uni) \
-        .otherwise(lam * p_big + (1.0 - lam) * p_uni)
+        .otherwise(F.col("_p_pair"))
     dec = F.round(F.log(p), 6).cast("decimal(24,6)")
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("ntok"),

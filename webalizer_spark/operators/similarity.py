@@ -209,6 +209,19 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     scored = (corpus.select(F.col(id_col), F.col(vec_col))
               .crossJoin(F.broadcast(c))
               .withColumn("csim", cosine(vec_col, "centroid")))
+    if n_probe == 1:
+        # the common case is a pure argmax: max_by over a
+        # (csim, -cell_id) struct is a hash aggregate with map-side
+        # partials — no Exchange+sort of the scored corpus, which the
+        # row_number window below pays (round 7, guide §2.4). The
+        # struct ordering reproduces the window's tie-break exactly
+        # (csim desc, then cell_id asc), so the assignment is
+        # identical row for row.
+        return (scored.groupBy(id_col)
+                .agg(F.max_by("cell_id",
+                              F.struct(F.col("csim"),
+                                       (-F.col("cell_id")).alias("nc")))
+                     .alias("cell_id")))
     w = Window.partitionBy(id_col).orderBy(
         F.col("csim").desc(), F.col("cell_id").asc())
     return (scored.withColumn("_r", F.row_number().over(w))
@@ -409,6 +422,12 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.45,
     assign = ivf_assign(emb, centroids, id_col, vec_col, 1)
     assign = _cap_hot_keys(assign, ["cell_id"], max_cell_size,
                            "semantic_dedup")
+    if max_cell_size is None:
+        # barrier before the within-cell self-join: both sides would
+        # otherwise recompute the full corpus x centroids scoring
+        # (the cap path materializes inside _cap_hot_keys); the
+        # assignment table is (id, cell) rows — tiny at any scale
+        assign = assign.localCheckpoint(eager=False)
     a = assign.select(F.col(id_col).alias("va"),
                       F.col("cell_id").alias("ca"))
     b = assign.select(F.col(id_col).alias("vb"),

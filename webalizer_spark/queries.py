@@ -667,7 +667,10 @@ def doc_minhash_lsh_pairs(spark, sf):
     bands = (sig.groupBy("doc_id", "band")
              .agg(F.array_join(F.transform(
                  F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                 lambda s: s["minhash"].cast("string")), ",").alias("band_key")))
+                 lambda s: s["minhash"].cast("string")), ",").alias("band_key"))
+             # barrier before the self-join: both sides otherwise
+             # recompute the full MinHash signature lineage (round 7)
+             .localCheckpoint(eager=False))
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -833,6 +836,15 @@ def emb_cosine_topk(spark, sf):
                     F.round("cos", 6).alias("cos")))
 
 
+def _lsh_wt_ji(j: int, i: int) -> float:
+    """Python twin of the md5('j|i') +-1 weight seeding used by the
+    emb_lsh_* oracles — MUST stay bit-identical to the CTE's wt."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
 @qu("emb_lsh_signatures", """
 WITH dims AS (SELECT unnest(range(64)) AS i),
 planes AS (SELECT unnest(range(8)) AS j),
@@ -859,23 +871,29 @@ def emb_lsh_signatures(spark, sf):
     """Random-hyperplane LSH signatures (8 deterministic md5-seeded
     hyperplanes with +-1 weights; exact-decimal projections so the sign
     is order-independent). The ANN scale path: bucket by signature,
-    search within bucket."""
+    search within bucket.
+
+    Round-7 physical plan: the weights are a deterministic function of
+    (j, i), so they are materialized as literal arrays on the driver
+    and each signature is computed per row by a decimal zip_with fold —
+    ZERO Exchange (the previous crossJoin x 512 weights + two groupBys
+    shuffled planes*dim rows per vector). Same recipe as
+    similarity._lsh_signatures_literal (round-3, plan-asserted for
+    emb_ann_topk); decimal folds are exact, so the signatures are
+    bit-identical to the explode/groupBy form and the oracle."""
     e = _t(spark, sf, "embeddings")
-    dims = spark.range(64).select(F.col("id").cast("int").alias("i"))
-    planes = spark.range(8).select(F.col("id").cast("int").alias("j"))
-    wt = F.when(
-        F.conv(F.substring(F.md5(F.concat_ws(
-            "|", F.col("j").cast("string"), F.col("i").cast("string"))), 1, 8),
-            16, 10).cast("bigint") % 2 == 0,
-        F.lit(1.0)).otherwise(F.lit(-1.0))
-    w = planes.crossJoin(dims).withColumn("wt", wt)
-    x = (F.element_at("embedding", F.col("i") + 1).cast("double")
-         * F.col("wt")).cast("decimal(18,12)")
-    proj = (e.crossJoin(F.broadcast(w))
-            .groupBy("vec_id", "j").agg(F.sum(x).alias("p")))
-    bit = F.when(F.col("p") >= 0,
-                 F.pow(F.lit(2), F.col("j")).cast("bigint")).otherwise(F.lit(0))
-    return proj.groupBy("vec_id").agg(F.sum(bit).cast("bigint").alias("sig"))
+    terms = []
+    for j in range(8):
+        arr = "array(" + ",".join(
+            f"{_lsh_wt_ji(j, i):.1f}D" for i in range(64)) + ")"
+        proj = (f"aggregate(zip_with(embedding, {arr}, "
+                f"(x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,12))), "
+                f"CAST(0 AS DECIMAL(18,12)), "
+                f"(acc, v) -> CAST(acc + coalesce(v, CAST(0 AS DECIMAL(18,12)))"
+                f" AS DECIMAL(18,12)))")
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** j}L ELSE 0L END)")
+    return e.select("vec_id",
+                    F.expr(" + ".join(terms)).cast("bigint").alias("sig"))
 
 
 @qu("emb_lsh_buckets", """
