@@ -64,43 +64,32 @@ def test_session_window_single_shuffle(spark, transcripts):
     assert plan.count("Exchange hashpartitioning(conv_id") == 1
 
 
-def test_errors_sink_join_adaptive(spark, transcripts, dims):
-    """The errors-sink raw-rescan join carries NO broadcast hint — the
-    bad-key set scales with (corrupt fraction x input), so the join must
-    be AQE-sized: tiny bad sets broadcast at runtime; sets past the
-    broadcast threshold fall back to a shuffle join instead of OOMing
-    the driver. Routed-row equality holds on both paths."""
+def test_errors_sink_reads_parse_cache_no_rescan(spark, transcripts, dims):
+    """Round 7: the errors sink is a narrow filter of the parse cache
+    (bad rows keep their raw text in `_bad_text`) — no join, no second
+    scan of the transcripts source. Rows must equal the old
+    transcripts >< bad-keys join derivation exactly."""
+    from pyspark.sql import functions as F
+
     from webalizer_spark.plans.pipeline import run_pipeline
 
     res = run_pipeline(spark, transcripts, dims)
-    n_bcast = res.errors.count()
-    p1 = _plan(res.errors)
-    assert "BroadcastHashJoin" in p1, \
-        "tiny bad-key set should be broadcast by AQE"
-    res.unpersist()
-
-    # simulate a bad-key set too large to broadcast: disable the
-    # runtime broadcast thresholds; the plan MUST degrade to a shuffle
-    # join, never a forced broadcast
-    confs = ["spark.sql.autoBroadcastJoinThreshold",
-             "spark.sql.adaptive.autoBroadcastJoinThreshold"]
-    saved = {c: spark.conf.get(c, None) for c in confs}
-    for c in confs:
-        spark.conf.set(c, "-1")
     try:
-        res2 = run_pipeline(spark, transcripts, dims)
-        n_shuffle = res2.errors.count()
-        p2 = _plan(res2.errors)
-        assert "BroadcastHashJoin" not in p2
-        assert ("SortMergeJoin" in p2) or ("ShuffledHashJoin" in p2)
-        res2.unpersist()
+        plan = _plan(res.errors)
+        assert "Join" not in plan, plan
+        assert "InMemoryTableScan" in plan, \
+            "errors sink must read the parse cache (a FileScan may " \
+            "appear only as the cached relation's lineage)"
+        got = {tuple(r) for r in res.errors.collect()}
+        bad_keys = (res.parsed.filter(~F.col("parse_ok"))
+                    .select("conv_id", "turn_idx"))
+        expected = {tuple(r) for r in
+                    transcripts.join(bad_keys, ["conv_id", "turn_idx"],
+                                     "inner").collect()}
+        assert res.errors.columns == transcripts.columns
+        assert got == expected and len(got) > 0
     finally:
-        for c, v in saved.items():
-            if v is None or v == "":
-                spark.conf.unset(c)
-            else:
-                spark.conf.set(c, v)
-    assert n_bcast == n_shuffle
+        res.unpersist()
 
 
 def test_simhash_pairs_no_cartesian(spark):

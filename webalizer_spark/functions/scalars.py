@@ -24,8 +24,16 @@ def sanitize(col: Column, max_len: int = 4096) -> Column:
     Truncation is the reference's memory-safety valve; here it bounds
     adversarial rows so a single huge `text` cannot blow an executor.
     Control characters are stripped like ƒisurlchar rejects them.
+
+    translate() deletes the same fixed character set the old
+    regexp_replace([\\x00-\\x1f\\x7f]) char class matched (a char with
+    no counterpart in the empty to-string is deleted) — identical
+    output, but a per-char map lookup instead of a regex engine pass,
+    which mattered on the parse hot path (round 7, guide §1.2
+    per-task work).
     """
-    return F.regexp_replace(F.substring(col, 1, max_len), r"[\x00-\x1f\x7f]", "")
+    ctl = "".join(chr(c) for c in [*range(0x20), 0x7F])
+    return F.translate(F.substring(col, 1, max_len), ctl, "")
 
 
 def get_domain(host: Column, levels: int = 2) -> Column:

@@ -101,29 +101,38 @@ def _lsh_weight(t: int, j: int, i: int) -> float:
     return 1.0 if h % 2 == 0 else -1.0
 
 
+def _lsh_proj_fold(vec_col: str, weights: list[float]) -> F.Column:
+    """Exact-decimal +-1-weighted projection of a vector column against
+    a literal weight array, as a zip_with/aggregate fold (ONE F.expr —
+    a Column-API lambda build was tried in round 7 and measured ~20x
+    slower to CONSTRUCT via py4j round-trips; the single parsed string
+    is the cheaper driver path). coalesce(v, 0) skips missing terms
+    the way SQL SUM skips NULLs, so short/NULL-element vectors produce
+    the SAME signature as the explode path instead of a NULL-poisoned
+    all-zero signature."""
+    arr = "array(" + ",".join(f"{w:.1f}D" for w in weights) + ")"
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, {arr}, "
+        f"(x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,12))), "
+        f"CAST(0 AS DECIMAL(18,12)), "
+        f"(acc, v) -> CAST(acc + coalesce(v, CAST(0 AS DECIMAL(18,12)))"
+        f" AS DECIMAL(18,12)))")
+
+
 def _lsh_signatures_literal(emb: DataFrame, num_planes: int, dim: int,
                             id_col: str, vec_col: str,
                             num_tables: int) -> DataFrame:
     structs = []
     for t in range(num_tables):
-        terms = []
+        sig = None
         for j in range(num_planes):
-            arr = "array(" + ",".join(
-                f"{_lsh_weight(t, j, i):.1f}D" for i in range(dim)) + ")"
-            # coalesce(v, 0) skips missing terms the way SQL SUM skips
-            # NULLs, so short/NULL-element vectors produce the SAME
-            # signature as the explode path (element_at -> NULL -> SUM
-            # ignores) instead of a NULL-poisoned all-zero signature
-            proj = (f"aggregate(zip_with({vec_col}, {arr}, "
-                    f"(x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,12))), "
-                    f"CAST(0 AS DECIMAL(18,12)), "
-                    f"(acc, v) -> CAST(acc + coalesce(v, CAST(0 AS DECIMAL(18,12)))"
-                    f" AS DECIMAL(18,12)))")
-            terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** j}L ELSE 0L END)")
-        structs.append(f"named_struct('t', {t}, 'sig', "
-                       + " + ".join(terms) + ")")
-    out = emb.select(
-        F.col(id_col), F.expr("inline(array(" + ",".join(structs) + "))"))
+            w = [_lsh_weight(t, j, i) for i in range(dim)]
+            proj = _lsh_proj_fold(vec_col, w)
+            bit = F.when(proj >= 0, F.lit(2 ** j).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+            sig = bit if sig is None else sig + bit
+        structs.append(F.struct(F.lit(t).alias("t"), sig.alias("sig")))
+    out = emb.select(F.col(id_col), F.inline(F.array(*structs)))
     return out.select(id_col, F.col("t").cast("int").alias("t"),
                       F.col("sig").cast("bigint").alias("sig"))
 

@@ -17,10 +17,11 @@ Recasts the reference's single record loop [webalizer.c ƒmain: our_gzgets
 The explicit persist is the design, not an afterthought: Spark will not
 fuse separate actions into one scan by itself, and the reference's whole
 architecture is "one pass feeds all tables" [webalizer.c main loop]. The
-fat raw `text` column is never cached — the errors sink rebuilds it by
-broadcasting the (tiny) bad-key set against a second raw scan, so both
-cached spines stay narrow (typed fields only); measured a net win at 10M
-rows locally and a large cache-byte saving at scale.
+fat raw `text` column is never cached for GOOD rows — only the
+~corrupt-fraction of rows keep theirs (`_bad_text`), which makes the
+errors sink a narrow filter of the parse cache instead of a second full
+raw scan + bad-key join (round 7; was 7.3 s/10M turns), while the cached
+spines stay typed-fields-only for the 99%+ good rows.
 """
 
 from __future__ import annotations
@@ -94,23 +95,27 @@ def run_pipeline(
     # the parse projection, re-inlining the grok regex once per conjunct
     # (measured 6x full-parse blowup on the 2M-turn bench).
     #
-    # The fat raw `text` column is NOT cached: at scale it dominates cache
-    # bytes, and only the errors sink (~corrupt fraction of rows) needs
-    # it. Errors are rebuilt by broadcasting the tiny bad-key set against
-    # a second raw scan — measured net win already at 10M rows locally
-    # ((conv_id, turn_idx) is the table's unique key per input_hint).
+    # The fat raw `text` column is cached ONLY for bad rows (round 7):
+    # good-row text is still never cached (it dominates cache bytes at
+    # scale), but the ~corrupt-fraction of rows keep theirs in a
+    # `_bad_text` column, so the errors sink is a narrow filter over
+    # the SAME cache instead of the previous bad-key broadcast join
+    # against a second full raw scan — that re-scan + join was a
+    # measured 7.3 s of the 10M-turn bench (guide §2.4: remove the
+    # join outright). Cached bad-text bytes stay bounded by the
+    # corrupt fraction; at a 1% bad rate that is 1% of corpus text in
+    # (spillable) cache versus re-reading 100% of it from storage.
     parsed = (parse_transcripts(transcripts, grok_strategy, cfg)
+              .withColumn("_bad_text",
+                          F.when(~F.col("parse_ok"), F.col("text")))
               .drop("text").persist(persist_level))
-    ok = parsed.filter(F.col("parse_ok"))
-    err_keys = parsed.filter(~F.col("parse_ok")).select("conv_id", "turn_idx")
-    # NO broadcast hint here, deliberately: the bad-key set scales with
-    # (corrupt fraction x input) — at the 10^12-turn design scale a ~1%
-    # bad rate is 10^10 keys, which would OOM the driver + every executor
-    # if hinted. AQE sizes the join from the err_keys shuffle stats at
-    # runtime: tiny bad sets become a BroadcastHashJoin (raw side never
-    # shuffles); large ones fall back to a shuffle join. Plan-asserted in
-    # tests/test_plans.py::test_errors_sink_join_adaptive.
-    errors = transcripts.join(err_keys, ["conv_id", "turn_idx"], "inner")
+    ok = parsed.drop("_bad_text").filter(F.col("parse_ok"))
+    # errors keep the exact input schema/order [BASE_COLS], raw line
+    # restored from _bad_text — row-for-row identical to the old
+    # transcripts >< bad-keys join ((conv_id, turn_idx) is unique).
+    errors = (parsed.filter(~F.col("parse_ok"))
+              .select("conv_id", "turn_idx", "role",
+                      F.col("_bad_text").alias("text"), "tool", "ts"))
 
     # Ignore/Include filters run pre-aggregation [webalizer.c loop order]:
     # all five Ignore families drop the whole record before any tally
@@ -148,11 +153,18 @@ def run_pipeline(
     if sessionizer is None:
         use_skew = skew_safe
         if skew_safe == "auto":
-            # one cheap agg over the cached parse decides the path: a
-            # window partition cannot be AQE-split, so convs past the
-            # threshold force the range-partitioned path (SURVEY §4 O9)
-            hottest = (ok.groupBy("conv_id").count()
-                       .agg(F.max("count")).collect()[0][0]) or 0
+            # a seeded 1% sample estimates the hottest conv instead of
+            # the old exact full groupBy pre-pass (round-6 verdict item
+            # 4): at scale the exact pass was an extra full shuffle
+            # before any work started, and the decision only needs an
+            # order-of-magnitude signal — a conv at the default 100k
+            # threshold lands ~1k sampled rows. Both sessionize paths
+            # produce identical output (property-tested), so estimator
+            # noise can only flip WHICH physical plan runs, never the
+            # result; the seed keeps a given input deterministic.
+            hottest = ((ok.sample(fraction=0.01, seed=7)
+                        .groupBy("conv_id").count()
+                        .agg(F.max("count")).collect()[0][0]) or 0) * 100
             use_skew = hottest >= cfg.hot_conv_threshold
         sessionizer = lambda df: (  # noqa: E731
             sessionize_skew_safe if use_skew else sessionize)(

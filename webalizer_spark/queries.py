@@ -65,8 +65,50 @@ def qu(name: str, sql: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# Tables whose every consumer runs a heavy narrow phase over the scan
+# (token explodes / md5 grams on documents, decimal LSH folds on
+# embeddings, the 600k-row join side of lineitem) — widened at read.
+# events is NOT here: its cheap single-aggregate consumers (evt_daily,
+# evt_rollup, ...) measured a net penalty from the extra Exchange;
+# heavy events consumers (tr2 CLF synthesis, profiling) opt in with
+# wide=True instead.
+_AUTO_WIDE = {"documents", "embeddings", "lineitem"}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       wide: bool | None = None) -> DataFrame:
+    """Read a driver fixture table, restoring scan parallelism where
+    the downstream work warrants it.
+
+    The sf fixtures are SINGLE parquet files with ONE row group, so the
+    scan cannot split: every narrow query phase (token explodes, LSH
+    folds, regex) ran on one core regardless of cluster size (round 7,
+    measured: all sf0.1 tables -> 1 scan partition on local[32]). This
+    is the guide §2.5 "huge unsplittable file" input-skew case, with
+    the guide's fix: repartition immediately after the read. Adaptive,
+    not tuned to this box: only fires when the scan yields FEWER
+    partitions than defaultParallelism (a real multi-file production
+    table already scans wider -> no-op) and the file is big enough
+    that a round-robin Exchange of it is trivially cheap relative to
+    the per-row work it parallelizes. Every operator downstream is
+    partition-count-agnostic (decimal/integer-exact aggregates, seeded
+    hash orders on all samples/limits), so results are bit-identical.
+    """
+    import os
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if wide is None:
+        wide = name in _AUTO_WIDE
+    if not wide:
+        return df
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        nbytes = 0
+    target = spark.sparkContext.defaultParallelism
+    if nbytes > (1 << 18) and df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 def _dsum(col: str) -> F.Column:
@@ -881,19 +923,17 @@ def emb_lsh_signatures(spark, sf):
     similarity._lsh_signatures_literal (round-3, plan-asserted for
     emb_ann_topk); decimal folds are exact, so the signatures are
     bit-identical to the explode/groupBy form and the oracle."""
+    from webalizer_spark.operators.similarity import _lsh_proj_fold
+
     e = _t(spark, sf, "embeddings")
-    terms = []
+    sig = None
     for j in range(8):
-        arr = "array(" + ",".join(
-            f"{_lsh_wt_ji(j, i):.1f}D" for i in range(64)) + ")"
-        proj = (f"aggregate(zip_with(embedding, {arr}, "
-                f"(x, y) -> CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,12))), "
-                f"CAST(0 AS DECIMAL(18,12)), "
-                f"(acc, v) -> CAST(acc + coalesce(v, CAST(0 AS DECIMAL(18,12)))"
-                f" AS DECIMAL(18,12)))")
-        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** j}L ELSE 0L END)")
-    return e.select("vec_id",
-                    F.expr(" + ".join(terms)).cast("bigint").alias("sig"))
+        proj = _lsh_proj_fold("embedding",
+                              [_lsh_wt_ji(j, i) for i in range(64)])
+        bit = F.when(proj >= 0, F.lit(2 ** j).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return e.select("vec_id", sig.cast("bigint").alias("sig"))
 
 
 @qu("emb_lsh_buckets", """
@@ -1269,9 +1309,11 @@ def doc_near_dup_keep_best(spark, sf):
     doc_near_dup_keep, but each dup component keeps its LONGEST member
     (n_chars desc, id asc tiebreak) — the practical keeper when
     duplicates differ in completeness. The engine picks the keeper via
-    ONE max_by over a (score, -id) struct (no window); DuckDB
-    re-derives it with a row_number window over the recursive-CTE
-    closure — opposite physical plans, same kept set."""
+    a max-score aggregate + null-safe tie join + min(v) (string-id
+    safe — the max_by(-id) struct form crashes on string ids under
+    ANSI; round-6 review); DuckDB re-derives it with a row_number
+    window over the recursive-CTE closure — opposite physical plans,
+    same kept set."""
     from webalizer_spark.operators.dedup import near_dup_remove_best
     d = _t(spark, sf, "documents")
     return near_dup_remove_best(d, "n_chars", "text", "doc_id",
@@ -2769,7 +2811,7 @@ WITH t AS (
   SELECT doc_id,
          list_filter(string_split(text, chr(10)), x ->
              regexp_matches(x, '[.!?"]$')
-             AND len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+             AND len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
                                  t2 -> t2 <> '')) >= 5
              AND NOT contains(lower(x), '{')
              AND NOT contains(lower(x), 'javascript')
@@ -2984,7 +3026,10 @@ def doc_mixing(spark, sf):
     window, the engine-wide with_share recipe)."""
     from webalizer_spark.operators.quality import mixing_weights
 
-    d = _t(spark, sf, "documents")
+    # narrow read (wide=False): mixture planning/execution is a cheap
+    # broadcast-join path over the corpus — the scan-widening Exchange
+    # measured as pure overhead here (round 7)
+    d = _t(spark, sf, "documents", wide=False)
     targets = (d.select("source").distinct()
                .select("source",
                        ((F.substring("source", 4, 10).cast("int") % 5) + 1)
@@ -3158,7 +3203,7 @@ def evt_profile(spark, sf):
     aggregate pass and unpivots through a narrow literal explode."""
     from webalizer_spark.operators.quality import profile_table
 
-    return profile_table(_t(spark, sf, "events"))
+    return profile_table(_t(spark, sf, "events", wide=True))
 
 
 @qu("evt_robots", """
@@ -3656,7 +3701,10 @@ def doc_mixture_rows(spark, sf):
     from webalizer_spark.operators.quality import mixing_weights
     from webalizer_spark.operators.sampling import materialize_mixture
 
-    d = _t(spark, sf, "documents")
+    # narrow read (wide=False): mixture planning/execution is a cheap
+    # broadcast-join path over the corpus — the scan-widening Exchange
+    # measured as pure overhead here (round 7)
+    d = _t(spark, sf, "documents", wide=False)
     targets = (d.select("source").distinct()
                .select("source",
                        ((F.substring("source", 4, 10).cast("int") % 5) + 1)

@@ -83,7 +83,7 @@ def _synth_lines(ev):
 
 def _synth_transcripts(spark, sf):
     """Synth lines shaped as the engine's transcript input contract."""
-    lines = _synth_lines(_t(spark, sf, "events"))
+    lines = _synth_lines(_t(spark, sf, "events", wide=True))
     return lines.select(
         F.concat(F.lit("c"), (F.col("event_id") % 1000).cast("string")
                  ).alias("conv_id"),
@@ -359,7 +359,7 @@ WITH base AS (
 
 
 def _synth_multi(spark, sf):
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", wide=True)
     s = lambda c: c.cast("string")  # noqa: E731
     eid, uid = F.col("event_id"), F.col("user_id")
     ts = F.date_trunc("second", F.col("ts"))
@@ -438,7 +438,7 @@ def _synth_w3c(spark, sf):
     preceding space-separated data rows)."""
     import datetime
 
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", wide=True)
     s = lambda c: c.cast("string")  # noqa: E731
     eid, uid = F.col("event_id"), F.col("user_id")
     ts = F.date_trunc("second", F.col("ts"))
@@ -615,7 +615,7 @@ def tr2_per_class(spark, sf):
     from webalizer_spark.operators.aggregates import per_class
     from webalizer_spark.operators.enrich import enrich_role_class
 
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", wide=True)
     dim = (ev.filter(F.col("user_id") % 3 != 0)
            .select(F.concat(F.lit("user"),
                             F.col("user_id").cast("string")).alias("role"),
@@ -768,7 +768,7 @@ def _synth_json(spark, sf):
     collector names + epoch-seconds ts) so every alias column in
     formats._JSON_KEYS is exercised, plus malformed rows (event_id %
     97 == 0) that must route as bad records."""
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", wide=True)
     s = lambda c: c.cast("string")  # noqa: E731
     eid, uid = F.col("event_id"), F.col("user_id")
     ts = F.date_trunc("second", F.col("ts"))
@@ -873,7 +873,7 @@ def _synth_alb(spark, sf):
     requests (half with query strings), '-' agents on every tenth
     user, trailing cipher/ARN/trace fields the parser must skip, and
     truncated rows (event_id % 89 == 0) that must route as bad."""
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", wide=True)
     s = lambda c: c.cast("string")  # noqa: E731
     eid, uid = F.col("event_id"), F.col("user_id")
     ts = F.date_trunc("second", F.col("ts"))
@@ -979,7 +979,7 @@ def _synth_haproxy(spark, sf):
     optional {header-capture} brace group on every 3rd row and two on
     every 9th, and '<BADREQ>' request lines (event_id % 89 == 0) that
     must route as bad records."""
-    ev = _t(spark, sf, "events")
+    ev = _t(spark, sf, "events", wide=True)
     s = lambda c: c.cast("string")  # noqa: E731
     eid, uid = F.col("event_id"), F.col("user_id")
     ts = F.date_trunc("second", F.col("ts"))
