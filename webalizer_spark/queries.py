@@ -96,17 +96,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
     """
     import os
 
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if wide is None:
         wide = name in _AUTO_WIDE
     if not wide:
         return df
+    # parquet can only split at row-group boundaries, so the scan's
+    # achievable parallelism is num_row_groups — read it from the
+    # footer (milliseconds) instead of df.rdd.getNumPartitions(),
+    # whose RDD-conversion plan cost ~0.3 s of driver time per call
+    # in a fresh JVM. A real production table is a DIRECTORY of many
+    # files — the footer probe fails there and we leave the scan
+    # alone, which is exactly right (it already parallelizes).
     try:
-        nbytes = os.path.getsize(f"{sf_dir}/{name}.parquet")
-    except OSError:
-        nbytes = 0
+        if os.path.getsize(path) <= (1 << 18):
+            return df
+        import pyarrow.parquet as pq
+
+        ngroups = pq.ParquetFile(path).num_row_groups
+    except Exception:  # noqa: BLE001 — directory/odd layout: no-op
+        return df
     target = spark.sparkContext.defaultParallelism
-    if nbytes > (1 << 18) and df.rdd.getNumPartitions() < target:
+    if ngroups < target:
         df = df.repartition(target)
     return df
 
@@ -460,8 +472,13 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """)
 def tpch_pricing_summary(spark, sf):
-    """Scan + filter-pushdown + hash aggregate (TPC-H Q1 shape)."""
-    li = _t(spark, sf, "lineitem")
+    """Scan + filter-pushdown + hash aggregate (TPC-H Q1 shape).
+
+    Narrow read (wide=False): the whole query is one scan + map-side
+    partial aggregate — the scan-widening Exchange measured as pure
+    overhead here (round 7), unlike the join-heavy lineitem consumers.
+    """
+    li = _t(spark, sf, "lineitem", wide=False)
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(_dsum("l_quantity").alias("sum_qty"),
@@ -1938,7 +1955,11 @@ def doc_lm_ppl(spark, sf):
         unigram_logprobs,
     )
 
-    docs = _t(spark, sf, "documents")
+    # narrow read (wide=False): the docs subtree is referenced by both
+    # the LM-training and the scoring lineage, so each would pay its
+    # own scan-widening Exchange while the per-row work (unigram
+    # explode + broadcast lookup) is light — measured net penalty wide
+    docs = _t(spark, sf, "documents", wide=False)
     lm = unigram_logprobs(docs)
     oov = docs.withColumn(
         "text", F.concat("text", F.lit(" qoov"),
