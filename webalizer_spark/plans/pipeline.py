@@ -144,9 +144,14 @@ def run_pipeline(
         dims = {**dims, "engine_params": spark.createDataFrame(
             list(dict(cfg.search_engines).items()),
             "engine_host string, query_param string")}
-    enriched = enrich_all(ok, dims)
 
-    # -- SESSIONIZE -------------------------------------------------------
+    # -- SESSIONIZE (before ENRICH, round 7 — guide §2.3: shuffle fewer
+    # bytes). Sessionize needs only (conv_id, ts, turn_idx); the enrich
+    # joins are row-preserving 1:at-most-1 broadcasts, so running them
+    # AFTER the window moves their five added columns (four of them
+    # strings) out of the conv_id Exchange — and out of the skew path's
+    # Arrow hop — with row-for-row identical output. A final select
+    # restores the historical spine column order.
     # sessionizer override: resume mode passes a checkpoint-stitching
     # variant (plans/checkpoint.resume_sessionize) so numbering continues
     # the saved state
@@ -169,9 +174,14 @@ def run_pipeline(
         sessionizer = lambda df: (  # noqa: E731
             sessionize_skew_safe if use_skew else sessionize)(
             df, cfg.visit_timeout_s)
-    sess = sessionizer(enriched)
+    sess = sessionizer(ok)
 
-    spine = sess.persist(persist_level)
+    # -- ENRICH (post-window, narrow broadcast joins) ---------------------
+    enriched = enrich_all(sess, dims)
+    spine_cols = ([c for c in enriched.columns
+                   if c not in ("is_new_session", "session_seq")]
+                  + ["is_new_session", "session_seq"])
+    spine = enriched.select(*spine_cols).persist(persist_level)
 
     # -- ROUTE (fan-out sinks, all narrow reads of the spine) -------------
     tool_calls = spine.filter(F.col("tool").isNotNull())
